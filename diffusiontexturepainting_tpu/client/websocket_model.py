@@ -1,0 +1,72 @@
+"""Websocket inpainter client.
+
+Speaks the binary wire protocol to a remote inference server; the analog of
+both reference client copies (trt_inference/websocket_model.py:19-87 and
+kit_app/.../inference/websocket_model.py:19-94), including the Kit client's
+empty-mask short-circuit and the lazy NEW_BRUSH_IMAGE send.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from websockets.sync.client import connect
+
+from ..serving import server_io
+from ..serving.model_base import (
+    ConditionalInpainterBase,
+    crop_resize_square,
+    ensure_float01,
+    float01_to_uint8,
+)
+
+
+class WebsocketConditionalInpainter(ConditionalInpainterBase):
+    """Inpainter that proxies every generate call to a websocket server."""
+
+    def __init__(self, url: str, resolution: int = 256, open_timeout: float = 30.0):
+        self._resolution = int(resolution)
+        self.image: np.ndarray | None = None
+        if not url.startswith(("ws://", "wss://")):
+            url = "ws://" + url
+        self.ws = connect(url, open_timeout=open_timeout, max_size=None)
+        self._pending_brush: bytes | None = None
+
+    def close(self):
+        self.ws.close()
+
+    def resolution(self) -> int:
+        return self._resolution
+
+    def set_brush(self, image: np.ndarray) -> None:
+        image = ensure_float01(image)[..., :3]
+        self.image = crop_resize_square(image, self._resolution).astype(np.float32)
+        # Defer the NEW_BRUSH_IMAGE send until the first generate call so the
+        # settings header reflects the caller's settings (reference
+        # websocket_model.py:54-56, 69-73).
+        self._pending_brush = server_io.image_to_binary(float01_to_uint8(self.image))
+
+    def generate_raw(self, canvas: np.ndarray, **settings) -> np.ndarray:
+        canvas = ensure_float01(canvas)
+        # Empty-mask short-circuit: nothing painted yet means the brush image
+        # IS the answer; skip the server round-trip (reference Kit
+        # inference/websocket_model.py:71-75).
+        if self._pending_brush is None and self.image is not None and \
+                float(canvas[..., 3].max(initial=0.0)) == 0.0:
+            return self.image.copy()
+
+        if self._pending_brush is not None:
+            req = (
+                server_io.encode_request_type(server_io.RequestType.NEW_BRUSH_IMAGE)
+                + server_io.encode_inference_settings(**settings)
+                + self._pending_brush
+            )
+            self._pending_brush = None
+        else:
+            req = server_io.encode_stamp_request(
+                float01_to_uint8(canvas), **settings
+            )
+
+        self.ws.send(req)
+        raw = self.ws.recv()
+        res = server_io.decode_response(raw)
+        return ensure_float01(res["image"][..., :3])

@@ -1,0 +1,77 @@
+"""Inference server entry point.
+
+The TPU analog of the reference server entry (trt_inference/run.py:27-55):
+builds a Tornado application serving the binary websocket protocol at
+/websocket/ plus a trivial HTTP health endpoint, and loads either the TPU
+inpainter or the mock model.
+
+Usage:
+    python -m diffusiontexturepainting_tpu.serving.run --port 6060
+    python -m diffusiontexturepainting_tpu.serving.run --mock  # no TPU needed
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+import tornado.ioloop
+import tornado.web
+
+from .handler import InpaintWebSocketHandler
+
+logger = logging.getLogger(__name__)
+
+
+class HealthHandler(tornado.web.RequestHandler):
+    def get(self):
+        self.write({"status": "ok", "model": self.application.settings.get("model_info", "")})
+
+
+def create_server(model=None, resolution: int = 256, debug_dir: str | None = None,
+                  mock: bool = False, warmup: bool = True):
+    """Create the Tornado application around an inpainter model."""
+    if model is None:
+        if mock:
+            from ..client.mock_model import MockConditionalInpainter
+
+            model = MockConditionalInpainter(resolution)
+            model_info = "mock"
+        else:
+            from ..pipeline.tpu_model import TPUConditionalInpainter
+
+            model = TPUConditionalInpainter(resolution, warmup=warmup)
+            model_info = "tpu-sd15-inpaint"
+    else:
+        model_info = type(model).__name__
+
+    return tornado.web.Application(
+        [
+            (r"/websocket/", InpaintWebSocketHandler,
+             dict(model=model, model_info_str=model_info, debug_dir=debug_dir)),
+            (r"/health", HealthHandler),
+        ],
+        model_info=model_info,
+    )
+
+
+def run_main(argv=None):
+    parser = argparse.ArgumentParser(description="TPU texture inpainting server")
+    parser.add_argument("--port", type=int, default=6060)
+    parser.add_argument("--resolution", type=int, default=256)
+    parser.add_argument("--mock", action="store_true", help="serve the mock model (no TPU)")
+    parser.add_argument("--debug_dir", type=str, default=None)
+    parser.add_argument("--no-warmup", action="store_true",
+                        help="skip ahead-of-time compilation of operating points")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    app = create_server(resolution=args.resolution, debug_dir=args.debug_dir,
+                        mock=args.mock, warmup=not args.no_warmup)
+    app.listen(args.port)
+    logger.info("Serving on ws://0.0.0.0:%d/websocket/", args.port)
+    tornado.ioloop.IOLoop.current().start()
+
+
+if __name__ == "__main__":
+    run_main()

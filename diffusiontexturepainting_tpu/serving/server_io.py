@@ -1,0 +1,162 @@
+"""Binary websocket wire protocol.
+
+Byte-identical to the reference protocol (trt_inference/server_io.py:19-165)
+so the unmodified Omniverse Kit client connects to this server. Unlike the
+reference, which ships two duplicated copies of this module (server and Kit
+client), this is the single shared codec used by both our server and our
+headless client.
+
+Request layout (little-endian):
+  [u8  type]           RequestType
+  [u8  steps]          denoising steps
+  [u8  context_pad]    context dilation kernel size (px)
+  [u8  tg_steps]       texture-guidance steps
+  [u16 width]          requested output width
+  [f32 cfg_weight]     classifier-free guidance weight
+  [f32 tg_weight]      texture-guidance weight
+  then an image payload: [i32 width][i32 height][i32 channels][raw u8 HWC]
+
+Response layout: [u8 type][image payload].
+"""
+
+from __future__ import annotations
+
+import enum
+import struct
+from dataclasses import dataclass, asdict
+
+import numpy as np
+
+_SETTINGS_FMT = "<BBBHff"  # steps, context_pad, tg_steps, width, cfg, tg
+_IMAGE_HEADER_FMT = "<iii"  # width, height, channels
+
+
+class RequestType(enum.Enum):
+    NEW_BRUSH_IMAGE = 0
+    NEW_BRUSH_PROMPT = 1
+    NEW_STAMP = 2
+    RETURN_PREVIEW = 3
+    RETURN_STAMP = 4
+
+
+@dataclass
+class InferenceSettings:
+    """Per-request settings traveling in the wire header.
+
+    Defaults mirror the reference UI defaults
+    (kit_app/.../manager.py:104-110).
+    """
+
+    steps: int = 20
+    context_pad: int = 150
+    tg_steps: int = 20
+    width: int = 256
+    cfg_weight: float = 2.0
+    tg_weight: float = 1.0
+
+    def to_dict(self):
+        return asdict(self)
+
+
+def encode_request_type(request_type: RequestType) -> bytes:
+    return struct.pack("<B", request_type.value)
+
+
+def encode_inference_settings(
+    steps: int = 20,
+    width: int = 256,
+    context_pad: int = 150,
+    cfg_weight: float = 2.0,
+    tg_weight: float = 0.0,
+    tg_steps: int = 0,
+) -> bytes:
+    """Encode the settings header (reference server_io.py:125-130)."""
+    return struct.pack(
+        _SETTINGS_FMT,
+        int(steps) & 0xFF,
+        int(context_pad) & 0xFF,
+        int(tg_steps) & 0xFF,
+        int(width) & 0xFFFF,
+        float(cfg_weight),
+        float(tg_weight),
+    )
+
+
+def image_to_binary(img: np.ndarray) -> bytes:
+    """Encode an HWC uint8 image (reference server_io.py:43-62)."""
+    if img.dtype != np.uint8:
+        raise RuntimeError("Image must be uint8 in range 0...255")
+    if img.ndim != 3:
+        raise RuntimeError(f"Image must be HWC, got shape {img.shape}")
+    height, width, nchannels = img.shape
+    if nchannels >= height:
+        raise RuntimeError(f"Wrong shape {img.shape}")
+    header = struct.pack(_IMAGE_HEADER_FMT, width, height, nchannels)
+    return header + np.ascontiguousarray(img).tobytes()
+
+
+def binary_to_image(bytes_msg: bytes, offset: int = 0) -> np.ndarray:
+    """Decode an HWC uint8 image (reference server_io.py:65-85)."""
+    width, height, channels = struct.unpack_from(_IMAGE_HEADER_FMT, bytes_msg, offset)
+    start = offset + struct.calcsize(_IMAGE_HEADER_FMT)
+    count = int(height) * int(width) * int(channels)
+    img = np.frombuffer(bytes_msg, dtype=np.uint8, count=count, offset=start)
+    return img.reshape((height, width, channels))
+
+
+def decode_request_metadata(bytes_msg: bytes, offset: int = 0):
+    """Decode the request header; returns (meta, settings, read_offset).
+
+    Mirrors reference server_io.py:88-122 field-for-field.
+    """
+    (msg_type,) = struct.unpack_from("<B", bytes_msg, offset)
+    offset += 1
+    steps, context_pad, tg_steps, width, cfg_weight, tg_weight = struct.unpack_from(
+        _SETTINGS_FMT, bytes_msg, offset
+    )
+    offset += struct.calcsize(_SETTINGS_FMT)
+    meta = {"type": msg_type}
+    settings = {
+        "steps": steps,
+        "context_pad": context_pad,
+        "tg_steps": tg_steps,
+        "width": width,
+        "cfg_weight": cfg_weight,
+        "tg_weight": tg_weight,
+    }
+    return meta, settings, offset
+
+
+def encode_new_brush_image_request(image: np.ndarray) -> bytes:
+    return image_to_binary(image)
+
+
+def decode_new_brush_image_request(binstr: bytes, offset: int = 0):
+    return {"image": binary_to_image(binstr, offset)[..., :3]}
+
+
+def encode_generated_response(response_type: RequestType, result_img: np.ndarray) -> bytes:
+    return encode_request_type(response_type) + image_to_binary(result_img)
+
+
+def decode_response(bytes_msg: bytes, offset: int = 0):
+    (response_type,) = struct.unpack_from("<B", bytes_msg, offset)
+    return {"type": response_type, "image": binary_to_image(bytes_msg, offset + 1)}
+
+
+def encode_stamp_request(canvas_hwc_u8: np.ndarray, **settings) -> bytes:
+    """Full NEW_STAMP request (convenience used by clients)."""
+    return (
+        encode_request_type(RequestType.NEW_STAMP)
+        + encode_inference_settings(**settings)
+        + image_to_binary(canvas_hwc_u8)
+    )
+
+
+def encode_brush_request(brush_hwc_u8: np.ndarray, **settings) -> bytes:
+    """Full NEW_BRUSH_IMAGE request (convenience used by clients)."""
+    return (
+        encode_request_type(RequestType.NEW_BRUSH_IMAGE)
+        + encode_inference_settings(**settings)
+        + image_to_binary(brush_hwc_u8)
+    )
