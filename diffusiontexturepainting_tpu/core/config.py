@@ -1,0 +1,134 @@
+"""Configuration dataclasses for every model / pipeline / server knob.
+
+The TPU analog of the reference's scattered config surface: TRT build
+parameters (models.py:864-940), pipeline defaults (trt_model.py:35-53),
+wire/UI settings (manager.py:104-110), and training argparse
+(train_texture_inpaint_lora.py:89-334). Everything here is static,
+hashable, and safe to close over in jitted programs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Tuple
+
+
+@dataclass(frozen=True)
+class UNetConfig:
+    """SD-1.5 inpainting UNet (reference models.py make_UNet:1231-1234,
+    unet_dim=9; HF runwayml/stable-diffusion-inpainting)."""
+
+    in_channels: int = 9
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    cross_attention_dim: int = 768
+    # SD-1.x quirk: "attention_head_dim=8" historically means 8 *heads*;
+    # head dim is channels/8 per resolution.
+    num_attention_heads: int = 8
+    norm_num_groups: int = 32
+    # Which down/up positions carry cross-attention transformers
+    # (True for the first three resolutions, False for the innermost).
+    attn_down: Tuple[bool, ...] = (True, True, True, False)
+    time_embed_dim_mult: int = 4
+    freq_shift: int = 0
+    flip_sin_to_cos: bool = True
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.block_out_channels[0] * self.time_embed_dim_mult
+
+
+@dataclass(frozen=True)
+class VAEConfig:
+    """SD-1.5 AutoencoderKL (reference models.py make_VAE/make_VAEEncoder)."""
+
+    in_channels: int = 3
+    out_channels: int = 3
+    latent_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
+    layers_per_block: int = 2  # encoder resnets per block; decoder uses +1
+    norm_num_groups: int = 32
+    scaling_factor: float = 0.18215
+
+
+@dataclass(frozen=True)
+class CLIPVisionConfig:
+    """CLIP ViT-B/32 vision tower.
+
+    Serves both reference flavors, which are mathematically identical at
+    the output we need: OpenAI clip.encode_image with visual.proj=None
+    (trt_inference/image_encoder.py:49-50, 81) and HF
+    CLIPVisionModel.pooler_output (training/image_encoder.py:39, 68) both
+    compute post_layernorm(CLS token).
+    """
+
+    image_size: int = 224
+    patch_size: int = 32
+    hidden_size: int = 768
+    intermediate_size: int = 3072
+    num_layers: int = 12
+    num_heads: int = 12
+    layer_norm_eps: float = 1e-5
+
+
+@dataclass(frozen=True)
+class PatchEncoderConfig:
+    """ConditionPatchEncoder (reference image_encoder.py:43-115)."""
+
+    cross_attention_dim: int = 768
+    num_layers: int = 4
+    hid_size: int = 768
+    num_heads: int = 4
+    num_patches: Tuple[int, ...] = (1, 4, 9)
+    clip: CLIPVisionConfig = field(default_factory=CLIPVisionConfig)
+
+    @property
+    def total_patches(self) -> int:
+        return sum(self.num_patches)
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Serving pipeline defaults (reference trt_model.py:35-45 and
+    manager.py:104-110)."""
+
+    scheduler: str = "DDIM"
+    denoising_steps: int = 20
+    guidance_scale: float = 2.0
+    texture_guidance_scale: float = 1.0
+    texture_guidance_steps: int = 20
+    context_pad: int = 150
+    vae_scaling: float = 0.18215
+    seed: int = 42
+
+
+# CLIP image normalization constants (reference image_encoder.py:75-76).
+CLIP_IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def tiny_unet_config() -> UNetConfig:
+    """Small UNet for CPU tests: same topology, narrow channels."""
+    return UNetConfig(
+        block_out_channels=(32, 64, 64, 64),
+        layers_per_block=1,
+        cross_attention_dim=32,
+        num_attention_heads=2,
+        norm_num_groups=8,
+    )
+
+
+def tiny_vae_config() -> VAEConfig:
+    return VAEConfig(block_out_channels=(16, 16, 32, 32), layers_per_block=1,
+                     norm_num_groups=8)
+
+
+def tiny_clip_config() -> CLIPVisionConfig:
+    return CLIPVisionConfig(image_size=32, patch_size=8, hidden_size=32,
+                            intermediate_size=64, num_layers=2, num_heads=2)
+
+
+def tiny_patch_encoder_config() -> PatchEncoderConfig:
+    return PatchEncoderConfig(cross_attention_dim=32, num_layers=1, hid_size=32,
+                              num_heads=2, clip=tiny_clip_config())

@@ -1,0 +1,262 @@
+"""Shared Flax building blocks for the diffusion model family.
+
+NHWC layout throughout (TPU-native conv layout). Mixed precision policy:
+params live in float32; `dtype` is the compute dtype (bf16 on TPU);
+normalization statistics always accumulate in float32.
+
+These blocks cover what the reference gets from diffusers modules +
+TensorRT plugin graph surgery (models.py:250-420): GroupNorm+SiLU,
+LayerNorm, GEGLU, and attention all fuse under XLA without plugins.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.attention import attention
+
+
+def timestep_embedding(timesteps, dim: int, flip_sin_to_cos: bool = True,
+                       downscale_freq_shift: float = 0.0,
+                       max_period: float = 10000.0):
+    """Sinusoidal timestep embedding (SD convention: flip_sin_to_cos=True,
+    freq_shift=0). timesteps: (B,) float -> (B, dim) float32."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    freqs = jnp.exp(exponent)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm computed in float32 regardless of compute dtype."""
+
+    num_groups: int = 32
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        orig = x.dtype
+        out = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps,
+                           dtype=jnp.float32, param_dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        )
+        return out.astype(orig)
+
+
+class LayerNorm32(nn.Module):
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        orig = x.dtype
+        out = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32,
+                           param_dtype=jnp.float32)(x.astype(jnp.float32))
+        return out.astype(orig)
+
+
+class Attention(nn.Module):
+    """Multi-head attention with linear projections.
+
+    Covers the UNet's self/cross attention (no qkv bias, out bias) and the
+    patch encoder's attention (qkv bias), replacing the reference's TRT
+    fMHA/fMHCA plugins with XLA/Pallas compute (ops/attention.py).
+    """
+
+    num_heads: int
+    head_dim: int
+    kv_dim: Optional[int] = None  # cross-attention key/value feature dim
+    qkv_bias: bool = False
+    out_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        inner = self.num_heads * self.head_dim
+        ctx = x if context is None else context
+        dense = lambda name, feats, bias: nn.Dense(
+            feats, use_bias=bias, dtype=self.dtype, param_dtype=jnp.float32,
+            name=name)
+        q = dense("to_q", inner, self.qkv_bias)(x)
+        k = dense("to_k", inner, self.qkv_bias)(ctx)
+        v = dense("to_v", inner, self.qkv_bias)(ctx)
+        out = attention(q, k, v, self.num_heads)
+        return dense("to_out", x.shape[-1], self.out_bias)(out)
+
+
+class GEGLU(nn.Module):
+    """Gated GELU feed-forward input projection (reference: the SplitGeLU
+    TRT plugin, models.py:367-389; XLA fuses this natively)."""
+
+    inner_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        proj = nn.Dense(self.inner_dim * 2, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="proj")(x)
+        h, gate = jnp.split(proj, 2, axis=-1)
+        return h * nn.gelu(gate, approximate=False)
+
+
+class FeedForward(nn.Module):
+    """Transformer FF: GEGLU (UNet) or plain GELU (patch encoder)."""
+
+    mult: int = 4
+    activation: str = "geglu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        inner = dim * self.mult
+        if self.activation == "geglu":
+            h = GEGLU(inner, dtype=self.dtype, name="net_0")(x)
+        elif self.activation == "gelu":
+            h = nn.Dense(inner, dtype=self.dtype, param_dtype=jnp.float32,
+                         name="net_0")(x)
+            h = nn.gelu(h, approximate=False)
+        else:
+            raise ValueError(self.activation)
+        return nn.Dense(dim, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="net_2")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """LN -> self-attn -> LN -> cross-attn -> LN -> FF, all residual.
+
+    Matches the topology of the diffusers block the reference uses for both
+    the UNet (geglu, no attn bias, cross_dim=768) and the patch encoder
+    (gelu, attn bias, attn2 degenerates to self-attention when no context
+    is given - reference image_encoder.py:59-70).
+    """
+
+    num_heads: int
+    head_dim: int
+    kv_dim: Optional[int] = None
+    qkv_bias: bool = False
+    ff_activation: str = "geglu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        h = LayerNorm32(name="norm1")(x)
+        x = x + Attention(self.num_heads, self.head_dim, qkv_bias=self.qkv_bias,
+                          dtype=self.dtype, name="attn1")(h)
+        h = LayerNorm32(name="norm2")(x)
+        x = x + Attention(self.num_heads, self.head_dim, kv_dim=self.kv_dim,
+                          qkv_bias=self.qkv_bias, dtype=self.dtype,
+                          name="attn2")(h, context)
+        h = LayerNorm32(name="norm3")(x)
+        x = x + FeedForward(activation=self.ff_activation, dtype=self.dtype,
+                            name="ff")(h)
+        return x
+
+
+class ResnetBlock(nn.Module):
+    """SD resnet block: GN-SiLU-Conv x2 with optional time conditioning.
+
+    The GroupNorm+SiLU pairs are what the reference fuses via its TRT
+    GroupNorm plugin (models.py:250-302); XLA fuses them for free.
+    """
+
+    out_channels: int
+    num_groups: int = 32
+    use_temb: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb=None):
+        in_ch = x.shape[-1]
+        conv = lambda name, ch: nn.Conv(
+            ch, (3, 3), padding=1, dtype=self.dtype, param_dtype=jnp.float32,
+            name=name)
+        h = GroupNorm32(self.num_groups, name="norm1")(x)
+        h = conv("conv1", self.out_channels)(nn.silu(h))
+        if self.use_temb and temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="time_emb_proj")(
+                nn.silu(temb))
+            h = h + t[:, None, None, :]
+        h = GroupNorm32(self.num_groups, name="norm2")(h)
+        h = conv("conv2", self.out_channels)(nn.silu(h))
+        if in_ch != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        param_dtype=jnp.float32, name="conv_shortcut")(x)
+        return x + h
+
+
+class Downsample(nn.Module):
+    """Stride-2 3x3 conv. `asymmetric_pad` matches the VAE encoder's
+    (0,1,0,1) padding; the UNet uses symmetric pad=1."""
+
+    out_channels: int
+    asymmetric_pad: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.asymmetric_pad:
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            pad = "VALID"
+        else:
+            pad = 1
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=pad,
+                       dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
+
+
+class Upsample(nn.Module):
+    """Nearest x2 + 3x3 conv."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="conv")(x)
+
+
+class Transformer2D(nn.Module):
+    """Spatial transformer: GN -> 1x1 conv in -> blocks -> 1x1 conv out.
+
+    SD-1.5 uses conv (not linear) projections (use_linear_projection=False).
+    """
+
+    num_heads: int
+    head_dim: int
+    depth: int = 1
+    kv_dim: Optional[int] = None
+    num_groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        b, h, w, c = x.shape
+        residual = x
+        hidden = GroupNorm32(self.num_groups, eps=1e-6, name="norm")(x)
+        hidden = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+                         name="proj_in")(hidden)
+        hidden = hidden.reshape(b, h * w, c)
+        for i in range(self.depth):
+            hidden = BasicTransformerBlock(
+                self.num_heads, self.head_dim, kv_dim=self.kv_dim,
+                dtype=self.dtype, name=f"transformer_blocks_{i}")(hidden, context)
+        hidden = hidden.reshape(b, h, w, c)
+        hidden = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+                         name="proj_out")(hidden)
+        return hidden + residual

@@ -1,0 +1,81 @@
+"""Attention compute paths.
+
+The reference relies on TensorRT's fused C++/CUDA attention plugins:
+fMHCA for cross-attention (enabled, models.py:1160) and fMHA_V2 for
+self-attention (present but disabled, models.py:1158). On TPU the
+equivalents are (a) an XLA dot-softmax-dot path that XLA fuses well for
+the short sequences this model sees (<= 4096 latent tokens, 14-token
+cross-attention kv), and (b) a Pallas flash-attention kernel for the
+longer self-attention sequences. `attention()` dispatches between them;
+the choice mirrors the reference's own empirical policy (fused kernel for
+one case, not the other) but is re-benchmarked on TPU — see
+tools/bench_attention.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# Toggled by pipeline config / benchmarks. Pallas path is used for
+# self-attention with enough tokens to fill MXU tiles.
+_FLASH_MIN_Q_LEN = 1024
+
+
+def _split_heads(x, num_heads):
+    b, l, d = x.shape
+    return x.reshape(b, l, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, l, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * hd)
+
+
+def xla_attention(q, k, v, num_heads: int, scale: float | None = None):
+    """Plain attention: (B, Lq, D) x (B, Lk, D) -> (B, Lq, D).
+
+    Softmax accumulates in float32 regardless of input dtype; the two
+    matmuls run in the input dtype (bf16 on TPU) on the MXU.
+    """
+    orig_dtype = q.dtype
+    head_dim = q.shape[-1] // num_heads
+    if scale is None:
+        scale = head_dim**-0.5
+    qh = _split_heads(q, num_heads)
+    kh = _split_heads(k, num_heads)
+    vh = _split_heads(v, num_heads)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores.astype(jnp.float32) * scale, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(orig_dtype), vh,
+                     preferred_element_type=jnp.float32)
+    return _merge_heads(out.astype(orig_dtype))
+
+
+def attention(q, k, v, num_heads: int, scale: float | None = None,
+              use_flash: bool | None = None):
+    """Dispatching attention entry point used by all models.
+
+    Args:
+        q, k, v: (B, L, D) projections (already linear-projected).
+        num_heads: head count; D % num_heads == 0.
+        use_flash: force the Pallas flash path on/off; None = auto
+            (flash for long self-attention on TPU).
+    """
+    if use_flash is None:
+        use_flash = (
+            q.shape[1] >= _FLASH_MIN_Q_LEN
+            and q.shape[1] == k.shape[1]
+            and jax.default_backend() == "tpu"
+        )
+    if use_flash:
+        try:
+            from .flash_attention import flash_attention
+
+            return flash_attention(q, k, v, num_heads, scale=scale)
+        except Exception:  # pragma: no cover - fallback if kernel unavailable
+            pass
+    return xla_attention(q, k, v, num_heads, scale=scale)

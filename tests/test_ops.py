@@ -1,0 +1,95 @@
+"""Op-level parity tests: dilation vs numpy oracle, resize vs torch."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusiontexturepainting_tpu.ops.morphology import add_extra_context, dilate_square
+from diffusiontexturepainting_tpu.ops.resize import nearest_downsample, resize2d
+
+
+def _np_dilate(mask, pad):
+    """Oracle: brute-force square dilation with window [-(p-1)//2, p//2]."""
+    h, w = mask.shape
+    left, right = (pad - 1) // 2, pad // 2
+    out = np.zeros_like(mask)
+    for y in range(h):
+        for x in range(w):
+            y0, y1 = max(0, y - left), min(h, y + right + 1)
+            x0, x1 = max(0, x - left), min(w, x + right + 1)
+            out[y, x] = mask[y0:y1, x0:x1].max()
+    return out
+
+
+@pytest.mark.parametrize("pad", [1, 2, 3, 8, 15])
+def test_dilate_square_matches_bruteforce(pad):
+    rng = np.random.default_rng(0)
+    mask = (rng.random((24, 20)) > 0.92).astype(np.float32)
+    ours = np.asarray(dilate_square(jnp.asarray(mask[None, ..., None]), pad))[0, ..., 0]
+    np.testing.assert_array_equal(ours, _np_dilate(mask, pad))
+
+
+def test_dilate_dynamic_pad_no_recompile():
+    """pad is a traced scalar: one jitted program serves every pad."""
+    import jax
+
+    traces = []
+
+    @jax.jit
+    def f(m, pad):
+        traces.append(1)
+        return dilate_square(m, pad)
+
+    m = jnp.zeros((1, 16, 16, 1)).at[0, 8, 8, 0].set(1.0)
+    a = np.asarray(f(m, 3))
+    b = np.asarray(f(m, 7))
+    assert len(traces) == 1
+    assert a.sum() == 9 and b.sum() == 49
+
+
+def test_add_extra_context_semantics():
+    """Hint image appears only outside the dilated painted area; context
+    mask covers both painted area and hint area."""
+    mask = np.zeros((1, 16, 16, 1), np.float32)
+    mask[0, 0:4, 0:4] = 1.0
+    src = np.full((1, 16, 16, 3), 0.5, np.float32)
+    masked = np.zeros((1, 16, 16, 3), np.float32)
+    cmi, cm = add_extra_context(jnp.asarray(src), jnp.asarray(masked),
+                                jnp.asarray(mask), pad=5)
+    cmi, cm = np.asarray(cmi), np.asarray(cm)
+    # far corner: hint pasted
+    assert cmi[0, 15, 15, 0] == 0.5 and cm[0, 15, 15, 0] == 1.0
+    # painted corner: masked image kept (0 here), mask known
+    assert cmi[0, 0, 0, 0] == 0.0 and cm[0, 0, 0, 0] == 1.0
+    # dilation ring around painted area: neither painted nor hint
+    assert cmi[0, 5, 5, 0] == 0.0 and cm[0, 5, 5, 0] == 0.0
+
+
+@pytest.mark.parametrize("mode,align", [("bilinear", False), ("bilinear", True),
+                                        ("bicubic", True), ("bicubic", False),
+                                        ("nearest", False)])
+@pytest.mark.parametrize("sizes", [(17, 32), (64, 33), (224, 74), (32, 32)])
+def test_resize_matches_torch(mode, align, sizes):
+    import torch
+    import torch.nn.functional as F
+
+    in_s, out_s = sizes
+    rng = np.random.default_rng(1)
+    img = rng.random((2, in_s, in_s, 3)).astype(np.float32)
+    ours = np.asarray(resize2d(jnp.asarray(img), out_s, out_s, mode=mode,
+                               align_corners=align))
+    t = torch.from_numpy(img).permute(0, 3, 1, 2)
+    kwargs = {} if mode == "nearest" else {"align_corners": align}
+    ref = F.interpolate(t, size=(out_s, out_s), mode=mode, **kwargs)
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_nearest_downsample_matches_interpolate():
+    import torch
+    import torch.nn.functional as F
+
+    img = np.random.default_rng(2).random((1, 64, 64, 1)).astype(np.float32)
+    ours = np.asarray(nearest_downsample(jnp.asarray(img), 8))
+    ref = F.interpolate(torch.from_numpy(img).permute(0, 3, 1, 2), size=(8, 8))
+    np.testing.assert_allclose(ours, ref.permute(0, 2, 3, 1).numpy())
