@@ -50,9 +50,8 @@ class GroupNorm32(nn.Module):
     def __call__(self, x):
         orig = x.dtype
         out = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps,
-                           dtype=jnp.float32, param_dtype=jnp.float32)(
-            x.astype(jnp.float32)
-        )
+                           dtype=jnp.float32, param_dtype=jnp.float32,
+                           name="norm")(x.astype(jnp.float32))
         return out.astype(orig)
 
 
@@ -63,7 +62,8 @@ class LayerNorm32(nn.Module):
     def __call__(self, x):
         orig = x.dtype
         out = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32,
-                           param_dtype=jnp.float32)(x.astype(jnp.float32))
+                           param_dtype=jnp.float32,
+                           name="norm")(x.astype(jnp.float32))
         return out.astype(orig)
 
 

@@ -1,0 +1,176 @@
+"""TPUConditionalInpainter: the serving model.
+
+The analog of the reference's TRTConditionalInpainter
+(trt_inference/trt_model.py:23-121), with the TRT engines replaced by
+jitted XLA programs (core/engine.py) and the eager-PyTorch image encoder
+replaced by a jitted brush-encoding program (resolving the reference's
+"TODO: switch to TRT inference", trt_model.py:56).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import (
+    PipelineConfig,
+    PatchEncoderConfig,
+    UNetConfig,
+    VAEConfig,
+    tiny_patch_encoder_config,
+    tiny_unet_config,
+    tiny_vae_config,
+)
+from ..core.engine import Engine
+from ..models.patch_encoder import ConditionPatchEncoder, encode_brush_image
+from ..models.unet import UNet2DCondition
+from ..models.vae import VAEDecoder, VAEEncoder
+from ..serving.model_base import (
+    ConditionalInpainterBase,
+    crop_resize_square,
+    ensure_float01,
+)
+from ..utils.profiling import StageTimer
+from .inpaint import StampModels
+
+logger = logging.getLogger(__name__)
+
+
+class TPUConditionalInpainter(ConditionalInpainterBase):
+    def __init__(
+        self,
+        resolution: int = 256,
+        config: PipelineConfig | None = None,
+        checkpoint_dir: str | None = None,
+        dtype=None,
+        tiny: bool = False,
+        warmup: bool = True,
+        warmup_points=None,
+        seed: int | None = None,
+        verbose_timing: bool = True,
+    ):
+        self._resolution = int(resolution)
+        self.config = config or PipelineConfig()
+        if dtype is None:
+            dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        self.dtype = dtype
+
+        if tiny:
+            ucfg, vcfg, pcfg = (tiny_unet_config(), tiny_vae_config(),
+                                tiny_patch_encoder_config())
+        else:
+            ucfg, vcfg, pcfg = UNetConfig(), VAEConfig(), PatchEncoderConfig()
+        self.unet = UNet2DCondition(ucfg, dtype=dtype)
+        self.vae_encoder = VAEEncoder(vcfg, dtype=dtype)
+        self.vae_decoder = VAEDecoder(vcfg, dtype=dtype)
+        self.patch_encoder = ConditionPatchEncoder(pcfg, dtype=dtype)
+
+        self.params = self._load_params(checkpoint_dir)
+
+        models = StampModels(
+            unet_apply=lambda p, s, t, c: self.unet.apply({"params": p}, s, t, c),
+            vae_encode_apply=lambda p, x: self.vae_encoder.apply({"params": p}, x),
+            vae_decode_apply=lambda p, z: self.vae_decoder.apply({"params": p}, z),
+            params=None,  # params are passed per-call
+            vae_scaling=vcfg.scaling_factor,
+        )
+        self.engine = Engine(models, self.config.scheduler)
+        self._encode_brush = jax.jit(
+            lambda p, img: encode_brush_image(self.patch_encoder, p, img))
+
+        self._base_key = jax.random.PRNGKey(
+            self.config.seed if seed is None else seed)
+        self._request_counter = 0
+        self.timer = StageTimer(enabled=verbose_timing)
+
+        # Neutral defaults so the server survives a stamp before set_brush.
+        self.image = np.full((self._resolution, self._resolution, 3), 0.5,
+                             np.float32)
+        self._brush_dev = jnp.asarray(self.image[None])
+        with self.timer.stage("brush-encode"):
+            cond, uncond = self._encode_brush(
+                self.params["patch_encoder"], self._brush_dev)
+            jax.block_until_ready(cond)
+        self._cond, self._uncond = cond, uncond
+
+        if warmup:
+            points = warmup_points or [(self._resolution,
+                                        self.config.denoising_steps)]
+            self.engine.warmup(self.params, cond.shape[1:], points,
+                              self._resolution)
+
+    def _load_params(self, checkpoint_dir):
+        if checkpoint_dir:
+            from ..weights.loader import load_pipeline_params
+
+            return load_pipeline_params(
+                checkpoint_dir, self.unet, self.vae_encoder, self.vae_decoder,
+                self.patch_encoder)
+        from ..weights.random_init import init_pipeline_params
+
+        logger.warning("No checkpoint_dir given - using seeded random weights "
+                       "(latency-correct, visually meaningless).")
+        return init_pipeline_params(
+            self.unet, self.vae_encoder, self.vae_decoder, self.patch_encoder,
+            resolution=min(self._resolution, 64))
+
+    # --- ConditionalInpainterBase contract ---
+
+    def resolution(self) -> int:
+        return self._resolution
+
+    def set_brush(self, image: np.ndarray) -> None:
+        """Crop/resize the brush to model resolution and encode it into
+        (cond, uncond) cross-attention tokens (reference trt_model.py:79-88)
+        as one jitted program."""
+        image = ensure_float01(image)[..., :3]
+        self.image = crop_resize_square(image, self._resolution).astype(np.float32)
+        self._brush_dev = jnp.asarray(self.image[None])
+        with self.timer.stage("brush-encode"):
+            cond, uncond = self._encode_brush(
+                self.params["patch_encoder"], self._brush_dev)
+            jax.block_until_ready(cond)
+        self._cond, self._uncond = cond, uncond
+
+    def _next_key(self):
+        self._request_counter += 1
+        return jax.random.fold_in(self._base_key, self._request_counter)
+
+    def _run_stamp(self, canvas: np.ndarray, **settings):
+        canvas = ensure_float01(canvas)
+        res = int(canvas.shape[0])
+        steps = int(settings.get("steps", self.config.denoising_steps))
+        cfg_w = jnp.float32(settings.get("cfg_weight", self.config.guidance_scale))
+        tg_w = jnp.float32(
+            settings.get("tg_weight", self.config.texture_guidance_scale))
+        tg_steps = jnp.int32(
+            settings.get("tg_steps", self.config.texture_guidance_steps))
+        pad = jnp.int32(settings.get("context_pad", self.config.context_pad))
+
+        canvas_u8 = jnp.asarray((canvas * 255).astype(np.uint8)[None])
+        brush = self._brush_dev
+        if brush.shape[1] != res:
+            brush = jnp.asarray(
+                crop_resize_square(self.image, res).astype(np.float32)[None])
+
+        fn = self.engine.stamp_fn(res, steps)
+        with self.timer.stage(f"stamp {res}px x{steps}"):
+            raw_u8, comp_u8 = fn(self.params, canvas_u8, brush, self._cond,
+                                 self._uncond, self._next_key(), cfg_w, tg_w,
+                                 tg_steps, pad)
+            raw_u8, comp_u8 = np.asarray(raw_u8), np.asarray(comp_u8)
+        return raw_u8, comp_u8
+
+    def generate_raw(self, canvas: np.ndarray, **settings) -> np.ndarray:
+        raw_u8, _ = self._run_stamp(canvas, **settings)
+        return raw_u8.astype(np.float32) / 255.0
+
+    def generate(self, canvas: np.ndarray, **settings) -> np.ndarray:
+        """Composited result straight from the device program (exact same
+        math as the base-class host composite, but fused on device)."""
+        _, comp_u8 = self._run_stamp(canvas, **settings)
+        return comp_u8.astype(np.float32) / 255.0

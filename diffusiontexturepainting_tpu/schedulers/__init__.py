@@ -1,0 +1,31 @@
+"""Scheduler registry.
+
+The reference ships five from-scratch schedulers with precomputed tables
+(utilities.py:267-1127: LMSDiscrete, DDIM, EulerAncestral, DPMSolver
+multistep, PNDM); DDIM is the serving default (trt_model.py:36).
+"""
+
+from __future__ import annotations
+
+from .ddim import DDIMScheduler
+
+_REGISTRY = {
+    "DDIM": DDIMScheduler,
+}
+
+
+def register_scheduler(name: str, cls):
+    _REGISTRY[name] = cls
+
+
+def make_scheduler(name: str, **kwargs):
+    try:
+        return _REGISTRY[name](**kwargs)
+    except KeyError:
+        raise ValueError(
+            f"Unknown scheduler {name!r}; available: {sorted(_REGISTRY)}"
+        ) from None
+
+
+def available_schedulers():
+    return sorted(_REGISTRY)
