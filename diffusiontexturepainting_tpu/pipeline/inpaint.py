@@ -85,7 +85,7 @@ def make_stamp_fn(models: StampModels, scheduler_name: str, num_steps: int,
 
         # One batch-2 VAE encode covers both branches (the reference runs
         # two separate engine calls, inpaint_pipeline.py:125-126).
-        rng, enc_rng, lat_rng = jax.random.split(rng, 3)
+        rng, enc_rng, lat_rng, step_rng = jax.random.split(rng, 4)
         moments = models.vae_encode_apply(
             params["vae_encoder"],
             jnp.concatenate([masked_images, ctx_masked], axis=0))
@@ -103,14 +103,18 @@ def make_stamp_fn(models: StampModels, scheduler_name: str, num_steps: int,
         latents = latents * scheduler.init_noise_sigma
 
         # Per-step texture-guidance scale: active for the first tg_steps
-        # steps, 0 after (reference denoise_latent:413-420).
+        # steps, 0 after (reference denoise_latent:413-420). Length follows
+        # the scheduler's iteration count (PNDM runs steps+1 model calls).
+        n_iters = scheduler.num_iterations()
         tg_scales = jnp.where(
-            jnp.arange(num_steps) < tg_steps, tg_weight, 0.0
+            jnp.arange(n_iters) < tg_steps, tg_weight, 0.0
         ).astype(jnp.float32)
+        step_keys = jax.random.split(step_rng, n_iters)
+        sched_state = scheduler.init_state(latents.shape)
 
-        def body(carry, row_and_tg):
-            lat_t, = carry
-            row, tg_scale = row_and_tg
+        def body(carry, xs):
+            lat_t, st = carry
+            row, tg_scale, key = xs
             lat_in = jnp.concatenate([lat_t] * 3, axis=0)
             lat_in = scheduler.scale_model_input(lat_in, row)
             unet_in = jnp.concatenate([lat_in, mask_lat, masked_latents], axis=-1)
@@ -120,10 +124,13 @@ def make_stamp_fn(models: StampModels, scheduler_name: str, num_steps: int,
             # Dual guidance combine (reference denoise_latent:449-451).
             eps = (eps_u + cfg_weight * (eps_c - eps_u)
                    + tg_scale * (eps_tg - eps_c))
-            lat_t = scheduler.step(eps, lat_t, row)
-            return (lat_t,), None
+            noise = (jax.random.normal(key, lat_t.shape, jnp.float32)
+                     if scheduler.stochastic else None)
+            lat_t, st = scheduler.step(eps, lat_t, row, st, noise)
+            return (lat_t, st), None
 
-        (latents,), _ = jax.lax.scan(body, (latents,), (rows, tg_scales))
+        (latents, _), _ = jax.lax.scan(
+            body, (latents, sched_state), (rows, tg_scales, step_keys))
 
         decoded = models.vae_decode_apply(params["vae_decoder"], latents / scale)
         result = jnp.clip(decoded / 2.0 + 0.5, 0.0, 1.0)

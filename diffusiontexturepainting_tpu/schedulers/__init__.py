@@ -8,9 +8,19 @@ multistep, PNDM); DDIM is the serving default (trt_model.py:36).
 from __future__ import annotations
 
 from .ddim import DDIMScheduler
+from .dpm_solver import DPMSolverMultistepScheduler
+from .euler_ancestral import EulerAncestralScheduler
+from .lms import LMSDiscreteScheduler
+from .pndm import PNDMScheduler
 
 _REGISTRY = {
     "DDIM": DDIMScheduler,
+    "DPM": DPMSolverMultistepScheduler,
+    "DPM++": DPMSolverMultistepScheduler,
+    "EulerA": EulerAncestralScheduler,
+    "PNDM": PNDMScheduler,
+    "LMSD": LMSDiscreteScheduler,
+    "LMS": LMSDiscreteScheduler,
 }
 
 

@@ -54,15 +54,28 @@ class Scheduler:
 
     Subclasses define:
       set_timesteps(n): (re)build tables
-      step(model_output, sample, idx_row) -> new sample
-      scan_rows(): dict of stacked per-step arrays (each length n) to be
-        scanned over, always including 'timestep' (float32).
+      scan_rows(): dict of stacked per-step float32 arrays (each of length
+        num_iterations) to be scanned over, always including 'timestep'
+      init_state(shape): pytree of carried multistep history (may be {})
+      step(model_output, sample, row, state, noise=None)
+        -> (prev_sample, new_state); `noise` is a fresh standard normal of
+        sample's shape, only consumed when `stochastic` is True.
+
+    The scan length is len(scan_rows()['timestep']) - PNDM runs n+1 model
+    calls for n requested steps, everything else runs n.
     """
 
     order = 1  # number of model calls per scheduler step
     init_noise_sigma = 1.0
+    stochastic = False  # needs per-step noise input
 
-    def scale_model_input(self, sample, idx_row):
+    def num_iterations(self) -> int:
+        return len(self.scan_rows()["timestep"])
+
+    def init_state(self, shape):
+        return {}
+
+    def scale_model_input(self, sample, row):
         """Scale UNet input (identity for DDIM/PNDM/DPM; sigma-scale for
         k-diffusion style schedulers)."""
         return sample

@@ -78,13 +78,15 @@ class DDIMScheduler(Scheduler):
             "variance": self.variance,
         }
 
-    def step(self, model_output, sample, row, eta: float = 0.0, noise=None):
+    def step(self, model_output, sample, row, state=None, noise=None,
+             eta: float = 0.0):
         """One deterministic (eta=0) or stochastic DDIM update.
 
         Args:
             model_output: predicted noise (or v), same shape as sample.
             sample: current latents x_t.
             row: dict of per-step scalars from scan_rows().
+            state: unused (DDIM is single-step); returned unchanged.
         """
         alpha_prod_t = row["alpha_prod"]
         alpha_prod_prev = row["alpha_prod_prev"]
@@ -110,7 +112,7 @@ class DDIMScheduler(Scheduler):
         prev_sample = jnp.sqrt(alpha_prod_prev) * pred_x0 + pred_dir
         if eta > 0.0 and noise is not None:
             prev_sample = prev_sample + std_dev_t * noise
-        return prev_sample
+        return prev_sample, (state if state is not None else {})
 
     def add_noise(self, original, noise, idx: int):
         a = self.alpha_prod[idx]

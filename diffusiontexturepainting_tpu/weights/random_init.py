@@ -30,18 +30,21 @@ def init_pipeline_params(unet, vae_encoder, vae_decoder, patch_encoder,
     total = patch_encoder.cfg.total_patches
     clip_size = patch_encoder.cfg.clip.image_size
 
+    # jit each init: one compiled program instead of hundreds of tiny eager
+    # dispatches (critical on remote/tunneled TPU backends).
     sample = jnp.zeros((1, latent, latent, unet.cfg.in_channels))
     ctx = jnp.zeros((1, total, ctx_dim))
-    unet_params = unet.init(k1, sample, jnp.float32(0.0), ctx)["params"]
+    unet_params = jax.jit(unet.init)(k1, sample, jnp.float32(0.0), ctx)["params"]
 
     img = jnp.zeros((1, resolution, resolution, 3))
-    enc_params = vae_encoder.init(k2, img)["params"]
+    enc_params = jax.jit(vae_encoder.init)(k2, img)["params"]
 
     z = jnp.zeros((1, latent, latent, vae_decoder.cfg.latent_channels))
-    dec_params = vae_decoder.init(k3, z)["params"]
+    dec_params = jax.jit(vae_decoder.init)(k3, z)["params"]
 
     patches = jnp.zeros((1, total, clip_size, clip_size, 3))
-    pe_params = patch_encoder.init(k4, patches, True)["params"]
+    pe_params = jax.jit(patch_encoder.init, static_argnums=2)(
+        k4, patches, True)["params"]
 
     n_params = sum(x.size for x in jax.tree.leaves(unet_params))
     logger.info("random-initialized pipeline params (unet %.1fM params)",

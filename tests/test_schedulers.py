@@ -59,7 +59,8 @@ def test_ddim_trajectory_matches_oracle(n):
     for i in range(n):
         row = {k: v[i] for k, v in rows.items()}
         eps = fake_model(np.asarray(x, np.float32), rows["timestep"][i])
-        x = np.asarray(sched.step(eps.astype(np.float32), x, row))
+        x, _ = sched.step(eps.astype(np.float32), x, row)
+        x = np.asarray(x)
 
         # oracle update (float64)
         a_t = ac[ts[i]]
@@ -94,6 +95,6 @@ def test_ddim_v_prediction_consistency():
     a = row["alpha_prod"]
     x0 = (x - np.sqrt(1 - a) * eps) / np.sqrt(a)
     v = np.sqrt(a) * eps - np.sqrt(1 - a) * x0  # v definition
-    out_eps = np.asarray(s_eps.step(eps, x, row))
-    out_v = np.asarray(s_v.step(v.astype(np.float32), x, row))
+    out_eps = np.asarray(s_eps.step(eps, x, row)[0])
+    out_v = np.asarray(s_v.step(v.astype(np.float32), x, row)[0])
     np.testing.assert_allclose(out_eps, out_v, rtol=1e-4, atol=1e-5)
