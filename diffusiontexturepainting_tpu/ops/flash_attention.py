@@ -1,0 +1,131 @@
+"""Pallas fused attention kernel for TPU.
+
+The TPU counterpart of the reference's TensorRT fused-attention plugins
+(fMHA_V2 / fMHCA, models.py:520-646). The UNet's attention shapes are
+small-sequence (self-attention <= 4096 latent tokens at 512px stamps,
+cross-attention kv = 14 conditioning tokens), so instead of a
+kv-streaming "flash" loop the kernel keeps the ENTIRE K/V panel plus one
+query block resident in VMEM and fuses QK^T -> softmax -> PV in a single
+pass: the (Lq, Lk) score matrix never touches HBM - which is precisely
+the win that matters at these sizes (at 4096 tokens the plain XLA path
+materializes 3x8x4096^2 fp32 scores = ~1.6 GB of HBM traffic per layer).
+
+Head dim is zero-padded to the 128-lane boundary (SD-1.5 uses head dims
+40/80/160); zero pads contribute nothing to QK^T or PV.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0]  # (Bq, hd)
+    k = k_ref[0]  # (Lk, hd)
+    v = v_ref[0]  # (Lk, hd)
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # (Bq, Lk) f32
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o_ref[0] = jnp.dot(p.astype(v.dtype), v,
+                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "q_block"))
+def flash_attention(q, k, v, num_heads: int, scale: float | None = None,
+                    q_block: int = 512):
+    """Fused attention: (B, Lq, D) x (B, Lk, D) -> (B, Lq, D).
+
+    D = num_heads * head_dim; head_dim is padded to 128 internally.
+    """
+    B, Lq, D = q.shape
+    Lk = k.shape[1]
+    hd = D // num_heads
+    if scale is None:
+        scale = hd**-0.5
+
+    def split(x, L):
+        x = x.reshape(B, L, num_heads, hd).transpose(0, 2, 1, 3)
+        return x.reshape(B * num_heads, L, hd)
+
+    qh, kh, vh = split(q, Lq), split(k, Lk), split(v, Lk)
+
+    hd_pad = _round_up(hd, 128)
+    lk_pad = _round_up(Lk, 128)
+    bq = min(q_block, _round_up(Lq, 128))
+    lq_pad = _round_up(Lq, bq)
+    if hd_pad != hd:
+        pad = ((0, 0), (0, 0), (0, hd_pad - hd))
+        qh, kh, vh = jnp.pad(qh, pad), jnp.pad(kh, pad), jnp.pad(vh, pad)
+    if lq_pad != Lq:
+        qh = jnp.pad(qh, ((0, 0), (0, lq_pad - Lq), (0, 0)))
+    if lk_pad != Lk:
+        # pad keys with -inf-scoring sentinels: zero k gives score 0, which
+        # would pollute softmax - instead pad v with zeros and mask via a
+        # large negative bias folded into k's pad? Simplest: pad k with
+        # zeros and subtract inf on padded columns inside the kernel is
+        # overkill here because every caller has Lk in {14, 64, 256, 1024,
+        # 4096} -> only 14 needs padding, handled by the caller-side mask
+        # below.
+        kh = jnp.pad(kh, ((0, 0), (0, lk_pad - Lk), (0, 0)))
+        vh = jnp.pad(vh, ((0, 0), (0, lk_pad - Lk), (0, 0)))
+
+    grid = (B * num_heads, lq_pad // bq)
+    kernel = _attn_kernel
+    if lk_pad != Lk:
+        # mask padded kv columns with -inf before softmax
+        def kernel(q_ref, k_ref, v_ref, o_ref, *, scale=scale, true_lk=Lk):
+            qb = q_ref[0]
+            kb = k_ref[0]
+            vb = v_ref[0]
+            scores = jax.lax.dot_general(
+                qb, kb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(col < true_lk, scores, -jnp.inf)
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            o_ref[0] = jnp.dot(p.astype(vb.dtype), vb,
+                               preferred_element_type=jnp.float32
+                               ).astype(o_ref.dtype)
+    else:
+        kernel = functools.partial(_attn_kernel, scale=scale)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B * num_heads, lq_pad, hd_pad), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, hd_pad), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_pad, hd_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_pad, hd_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, hd_pad), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * num_heads * lq_pad * lk_pad * hd_pad,
+            bytes_accessed=(B * num_heads * (lq_pad + 2 * lk_pad + lq_pad)
+                            * hd_pad * 2),
+            transcendentals=B * num_heads * lq_pad * lk_pad,
+        ),
+    )(qh, kh, vh)
+
+    out = out[:, :Lq, :hd]
+    out = out.reshape(B, num_heads, Lq, hd).transpose(0, 2, 1, 3)
+    return out.reshape(B, Lq, D)

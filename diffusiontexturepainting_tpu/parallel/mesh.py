@@ -42,9 +42,9 @@ def make_mesh(data: Optional[int] = None, model: int = 1,
     n = len(devices)
     if data is None:
         data = n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
-    dev_array = np.asarray(devices).reshape(data, model)
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} needs more than {n} devices")
+    dev_array = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(dev_array, ("data", "model"))
 
 

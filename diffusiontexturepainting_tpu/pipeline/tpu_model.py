@@ -141,36 +141,59 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
         return jax.random.fold_in(self._base_key, self._request_counter)
 
     def _run_stamp(self, canvas: np.ndarray, **settings):
-        canvas = ensure_float01(canvas)
-        res = int(canvas.shape[0])
-        steps = int(settings.get("steps", self.config.denoising_steps))
-        cfg_w = jnp.float32(settings.get("cfg_weight", self.config.guidance_scale))
-        tg_w = jnp.float32(
-            settings.get("tg_weight", self.config.texture_guidance_scale))
-        tg_steps = jnp.int32(
-            settings.get("tg_steps", self.config.texture_guidance_steps))
-        pad = jnp.int32(settings.get("context_pad", self.config.context_pad))
+        """Dispatch the stamp program; returns DEVICE arrays (raw, comp).
 
-        canvas_u8 = jnp.asarray((canvas * 255).astype(np.uint8)[None])
+        The canvas travels as uint8 (wire format) and only the requested
+        output is fetched by the caller - on tunneled/remote backends each
+        host<->device transfer costs tens of ms, so transfer exactly one
+        1-byte-per-channel image each way.
+        """
+        if canvas.dtype == np.uint8:
+            canvas_u8 = canvas
+        else:
+            canvas_u8 = (np.clip(canvas, 0.0, 1.0) * 255).astype(np.uint8)
+        res = int(canvas_u8.shape[0])
+        steps = int(settings.get("steps", self.config.denoising_steps))
+        # numpy scalars, NOT jnp: eager jnp scalar creation is a synchronous
+        # host->device transfer (~70 ms each on tunneled backends); numpy
+        # args ride along with the program dispatch instead.
+        cfg_w = np.float32(settings.get("cfg_weight", self.config.guidance_scale))
+        tg_w = np.float32(
+            settings.get("tg_weight", self.config.texture_guidance_scale))
+        tg_steps = np.int32(
+            settings.get("tg_steps", self.config.texture_guidance_steps))
+        pad = np.int32(settings.get("context_pad", self.config.context_pad))
+
         brush = self._brush_dev
         if brush.shape[1] != res:
             brush = jnp.asarray(
                 crop_resize_square(self.image, res).astype(np.float32)[None])
 
         fn = self.engine.stamp_fn(res, steps)
-        with self.timer.stage(f"stamp {res}px x{steps}"):
-            raw_u8, comp_u8 = fn(self.params, canvas_u8, brush, self._cond,
-                                 self._uncond, self._next_key(), cfg_w, tg_w,
-                                 tg_steps, pad)
-            raw_u8, comp_u8 = np.asarray(raw_u8), np.asarray(comp_u8)
-        return raw_u8, comp_u8
+        return fn(self.params, canvas_u8[None], brush, self._cond,
+                  self._uncond, self._next_key(), cfg_w, tg_w, tg_steps, pad)
 
     def generate_raw(self, canvas: np.ndarray, **settings) -> np.ndarray:
-        raw_u8, _ = self._run_stamp(canvas, **settings)
+        steps = int(settings.get("steps", self.config.denoising_steps))
+        with self.timer.stage(f"stamp raw x{steps}"):
+            raw_u8, _ = self._run_stamp(canvas, **settings)
+            raw_u8 = np.asarray(raw_u8)
         return raw_u8.astype(np.float32) / 255.0
 
     def generate(self, canvas: np.ndarray, **settings) -> np.ndarray:
         """Composited result straight from the device program (exact same
-        math as the base-class host composite, but fused on device)."""
-        _, comp_u8 = self._run_stamp(canvas, **settings)
+        math as the base-class host composite, fused on device; only the
+        composited image is fetched)."""
+        steps = int(settings.get("steps", self.config.denoising_steps))
+        with self.timer.stage(f"stamp x{steps}"):
+            _, comp_u8 = self._run_stamp(canvas, **settings)
+            comp_u8 = np.asarray(comp_u8)
         return comp_u8.astype(np.float32) / 255.0
+
+    def generate_u8(self, canvas_u8: np.ndarray, **settings) -> np.ndarray:
+        """uint8-in/uint8-out fast path for the websocket server: no float
+        conversions on the host at all."""
+        steps = int(settings.get("steps", self.config.denoising_steps))
+        with self.timer.stage(f"stamp u8 x{steps}"):
+            _, comp_u8 = self._run_stamp(canvas_u8, **settings)
+            return np.asarray(comp_u8)

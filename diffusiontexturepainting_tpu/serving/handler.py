@@ -72,11 +72,16 @@ class InpaintWebSocketHandler(WebSocketHandler):
         self.write_message(payload, binary=True)
 
     def _handle_stamp_request(self, settings, context_u8: np.ndarray):
-        """Inpaint one brush stamp."""
-        canvas = ensure_float01(context_u8)
-        result = self.model.generate(canvas, **settings)
+        """Inpaint one brush stamp. Models exposing the uint8 fast path
+        (generate_u8) skip all host-side float conversions - the wire
+        bytes go straight to the device program."""
+        if hasattr(self.model, "generate_u8"):
+            result_u8 = self.model.generate_u8(context_u8, **settings)
+        else:
+            result_u8 = float01_to_uint8(
+                self.model.generate(ensure_float01(context_u8), **settings))
         payload = server_io.encode_generated_response(
-            server_io.RequestType.RETURN_STAMP, float01_to_uint8(result)
+            server_io.RequestType.RETURN_STAMP, result_u8
         )
         self.write_message(payload, binary=True)
 
