@@ -40,7 +40,14 @@ def timestep_embedding(timesteps, dim: int, flip_sin_to_cos: bool = True,
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm computed in float32 regardless of compute dtype."""
+    """GroupNorm: statistics in float32, normalization applied in the
+    activation dtype.
+
+    Bandwidth note: a full-f32 GroupNorm doubles HBM traffic on bf16
+    activations (the VAE works on 512x512x128 tensors = 67 MB each);
+    reducing in f32 but scaling in bf16 keeps the accuracy of the
+    statistics while moving only bf16 bytes.
+    """
 
     num_groups: int = 32
     eps: float = 1e-5
@@ -48,11 +55,34 @@ class GroupNorm32(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        orig = x.dtype
-        out = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps,
-                           dtype=jnp.float32, param_dtype=jnp.float32,
-                           name="norm")(x.astype(jnp.float32))
-        return out.astype(orig)
+        c = x.shape[-1]
+        g = self.num_groups
+        # child module named "norm" keeps the param paths (norm/scale,
+        # norm/bias) identical to the previous nn.GroupNorm layout that the
+        # weight converter targets.
+        scale, bias = _ScaleBias(c, name="norm")()
+        xg = x.reshape(x.shape[:-1] + (g, c // g))
+        red_axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
+        mean = jnp.mean(xg.astype(jnp.float32), axis=red_axes, keepdims=True)
+        var = jnp.mean(
+            jnp.square(xg.astype(jnp.float32) - mean), axis=red_axes,
+            keepdims=True)
+        inv = jax.lax.rsqrt(var + self.eps)
+        y = (xg - mean.astype(x.dtype)) * inv.astype(x.dtype)
+        y = y.reshape(x.shape)
+        return y * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+class _ScaleBias(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return scale, bias
 
 
 class LayerNorm32(nn.Module):

@@ -66,9 +66,11 @@ def attention(q, k, v, num_heads: int, scale: float | None = None,
             (flash for long self-attention on TPU).
     """
     if use_flash is None:
+        head_dim = q.shape[-1] // num_heads
         use_flash = (
             q.shape[1] >= _FLASH_MIN_Q_LEN
             and q.shape[1] == k.shape[1]
+            and head_dim <= 128  # VMEM budget; 1-head 512-dim VAE attn -> XLA
             and jax.default_backend() == "tpu"
         )
     if use_flash:

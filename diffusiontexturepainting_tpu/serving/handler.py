@@ -42,13 +42,16 @@ class InpaintWebSocketHandler(WebSocketHandler):
             logger.exception("Failed to handle incoming message: %s", e)
 
     def _handle_binary_request(self, raw_message: bytes):
-        meta, settings, offset = server_io.decode_request_metadata(raw_message)
+        # native C++ codec when built (zero-copy image view); Python
+        # struct codec otherwise (native_io falls back internally).
+        from . import native_io
+
+        meta, settings, image = native_io.decode_request(raw_message)
         if meta["type"] == server_io.RequestType.NEW_BRUSH_IMAGE.value:
-            request = server_io.decode_new_brush_image_request(raw_message, offset)
-            self._handle_new_image_brush_request(settings, request)
+            self._handle_new_image_brush_request(settings,
+                                                 {"image": image[..., :3]})
         elif meta["type"] == server_io.RequestType.NEW_STAMP.value:
-            context = server_io.binary_to_image(raw_message, offset)
-            self._handle_stamp_request(settings, context)
+            self._handle_stamp_request(settings, image)
         else:
             raise NotImplementedError(f"Unknown binary request type {meta['type']}")
 
