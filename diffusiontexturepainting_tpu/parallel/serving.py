@@ -1,0 +1,73 @@
+"""Request-level parallel serving over a device mesh.
+
+The reference serves one GPU per process (trt_model.py:28, `device=0`).
+On TPU a pod slice can serve many concurrent painting sessions from one
+process: a batch of stamps (one per session/request) is sharded over the
+mesh's 'data' axis and executed as a single SPMD program - same compiled
+stamp math, vmapped over the batch, with per-request settings as batched
+arrays (so mixed cfg/tg/pad values in one batch never recompile).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..pipeline.inpaint import StampModels, make_stamp_fn
+
+
+class ParallelStampEngine:
+    """Batched multi-chip stamp execution."""
+
+    def __init__(self, models: StampModels, scheduler_name: str, mesh: Mesh):
+        self.models = models
+        self.scheduler_name = scheduler_name
+        self.mesh = mesh
+        self._fns = {}
+
+    def _build(self, resolution: int, steps: int):
+        stamp = make_stamp_fn(self.models, self.scheduler_name, steps)
+        vstamp = jax.vmap(
+            stamp,
+            in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+        )
+        data = NamedSharding(self.mesh, P("data"))
+        repl = NamedSharding(self.mesh, P())
+
+        fn = jax.jit(
+            vstamp,
+            in_shardings=(repl, data, data, data, data, data, data, data,
+                          data, data),
+            out_shardings=(data, data),
+        )
+        return fn
+
+    def stamp_fn(self, resolution: int, steps: int):
+        key = (int(resolution), int(steps))
+        if key not in self._fns:
+            self._fns[key] = self._build(*key)
+        return self._fns[key]
+
+    def stamp_batch(self, params, canvases_u8, brushes, conds, unconds, keys,
+                    cfg_weights, tg_weights, tg_steps, context_pads,
+                    steps: int):
+        """Run a batch of B stamps across the mesh.
+
+        Args (leading dim B, which must be a multiple of the data axis):
+            canvases_u8: (B, 1, H, W, 4) uint8
+            brushes: (B, 1, H, W, 3) float32
+            conds/unconds: (B, 1, L, D)
+            keys: (B,) PRNG keys
+            cfg_weights/tg_weights: (B,) float32
+            tg_steps/context_pads: (B,) int32
+        Returns (raw_u8, composited_u8), each (B, H, W, 3).
+        """
+        res = int(canvases_u8.shape[-3])
+        fn = self.stamp_fn(res, steps)
+        return fn(params, canvases_u8, brushes, conds, unconds, keys,
+                  cfg_weights, tg_weights, tg_steps, context_pads)
