@@ -118,6 +118,14 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
             self.unet, self.vae_encoder, self.vae_decoder, self.patch_encoder,
             resolution=min(self._resolution, 64))
 
+    def reload_params(self, checkpoint_dir: str) -> None:
+        """Hot-swap weights without recompiling (params are program
+        arguments, so compiled stamp programs are reused) - the analog of
+        the reference's TRT engine refit path (utilities.py:88-189)."""
+        self.params = self._load_params(checkpoint_dir)
+        # re-encode the current brush under the new encoder weights
+        self.set_brush(self.image)
+
     # --- ConditionalInpainterBase contract ---
 
     def resolution(self) -> int:
