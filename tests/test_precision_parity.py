@@ -1,0 +1,42 @@
+"""BASELINE config-4 analog: bf16 vs fp32 parity of the full stamp
+program (the reference's fp16-TRT vs fp32 check; target <= 1e-2 pixel
+fidelity on the uint8 output scale)."""
+
+import numpy as np
+import pytest
+
+from diffusiontexturepainting_tpu.pipeline.tpu_model import TPUConditionalInpainter
+
+
+def _make(dtype_name):
+    import jax.numpy as jnp
+
+    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[dtype_name]
+    return TPUConditionalInpainter(resolution=64, tiny=True, warmup=False,
+                                   dtype=dtype, verbose_timing=False, seed=7)
+
+
+def test_bf16_matches_f32_within_tolerance():
+    m32 = _make("f32")
+    m16 = _make("bf16")
+    # identical weights: reuse f32 params (both models share tiny configs
+    # and params are always stored f32; dtype only affects compute)
+    m16.params = m32.params
+    brush = np.random.default_rng(0).random((64, 64, 3)).astype(np.float32)
+    m32.set_brush(brush)
+    m16.set_brush(brush)
+
+    canvas = np.zeros((64, 64, 4), np.float32)
+    canvas[:24, :, :3] = 0.5
+    canvas[:24, :, 3] = 1.0
+    settings = dict(steps=4, cfg_weight=2.0, tg_weight=1.0, tg_steps=4,
+                    context_pad=20)
+    m32._request_counter = 100
+    m16._request_counter = 100
+    out32 = m32.generate_raw(canvas, **settings)
+    out16 = m16.generate_raw(canvas, **settings)
+
+    # mean deviation well under the 1e-2 target; allow outlier pixels
+    diff = np.abs(out32 - out16)
+    assert diff.mean() < 1e-2, diff.mean()
+    assert np.quantile(diff, 0.99) < 0.1
