@@ -28,7 +28,13 @@ class WebsocketConditionalInpainter(ConditionalInpainterBase):
         self.image: np.ndarray | None = None
         if not url.startswith(("ws://", "wss://")):
             url = "ws://" + url
-        self.ws = connect(url, open_timeout=open_timeout, max_size=None)
+        # ping_interval=None: the protocol is synchronous request/response
+        # and the server blocks its IOLoop during inference (first compile
+        # can take minutes), so keepalive pings would go unanswered and kill
+        # the connection mid-request. The reference client (websocket-client)
+        # sends no pings either.
+        self.ws = connect(url, open_timeout=open_timeout, max_size=None,
+                          ping_interval=None)
         self._pending_brush: bytes | None = None
 
     def close(self):

@@ -101,6 +101,12 @@ class PipelineConfig:
     context_pad: int = 150
     vae_scaling: float = 0.18215
     seed: int = 42
+    # DeepCache-style UNet feature caching: run the full UNet every
+    # `deep_cache_interval` steps and only the outermost level in between.
+    # 1 = off (exact parity). Only applied when the requested step count is
+    # >= deep_cache_min_steps (few-step sampling is too cache-sensitive).
+    deep_cache_interval: int = 1
+    deep_cache_min_steps: int = 8
 
 
 # CLIP image normalization constants (reference image_encoder.py:75-76).

@@ -57,15 +57,17 @@ class Engine:
                  persistent_cache: bool = True):
         self.models = models
         self.scheduler_name = scheduler_name
-        self._stamp: Dict[Tuple[int, int], callable] = {}
+        self._stamp: Dict[Tuple[int, int, int], callable] = {}
         self._preview: Dict[Tuple[int, int], callable] = {}
         if persistent_cache:
             enable_persistent_cache()
 
-    def stamp_fn(self, resolution: int, steps: int):
-        key = (int(resolution), int(steps))
+    def stamp_fn(self, resolution: int, steps: int,
+                 deep_cache_interval: int = 1):
+        key = (int(resolution), int(steps), int(deep_cache_interval))
         if key not in self._stamp:
-            fn = make_stamp_fn(self.models, self.scheduler_name, key[1])
+            fn = make_stamp_fn(self.models, self.scheduler_name, key[1],
+                               deep_cache_interval=key[2])
             self._stamp[key] = jax.jit(fn)
         return self._stamp[key]
 
@@ -83,16 +85,20 @@ class Engine:
         import numpy as np
 
         rng = jax.random.PRNGKey(0)
-        for res, steps in points:
+        for point in points:
+            res, steps = point[0], point[1]
+            interval = point[2] if len(point) > 2 else 1
             tic = time.time()
             canvas = jnp.zeros((1, res, res, 4), jnp.uint8)
             brush = jnp.zeros((1, res, res, 3), jnp.float32)
             cond = jnp.zeros((1,) + tuple(cond_shape), jnp.float32)
             uncond = jnp.zeros_like(cond)
-            out = self.stamp_fn(res, steps)(
+            out = self.stamp_fn(res, steps, interval)(
                 params, canvas, brush, cond, uncond, rng,
-                jnp.float32(2.0), jnp.float32(1.0), jnp.int32(steps),
-                jnp.int32(150))
-            jax.block_until_ready(out)
-            logger.info("warmup stamp %dx%d steps=%d: %.1fs",
-                        res, res, steps, time.time() - tic)
+                np.float32(2.0), np.float32(1.0), np.int32(steps),
+                np.int32(150))
+            # fetch a few bytes: on tunneled backends block_until_ready
+            # does not guarantee completion
+            np.asarray(out[1][:1, :1])
+            logger.info("warmup stamp %dx%d steps=%d cache=%d: %.1fs",
+                        res, res, steps, interval, time.time() - tic)

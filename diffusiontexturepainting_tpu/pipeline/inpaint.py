@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,17 +48,34 @@ class StampModels:
     vae_decode_apply: Callable  # (params, latents(B,h,w,4)) -> images(B,H,W,3)
     params: Dict[str, Any]  # {'unet':..., 'vae_encoder':..., 'vae_decoder':...}
     vae_scaling: float = 0.18215
+    # Deep-cache forwards (models/unet.py): full returns (eps, cache);
+    # shallow consumes the cache. Optional - when absent,
+    # deep_cache_interval > 1 is rejected.
+    unet_full_apply: Optional[Callable] = None
+    unet_shallow_apply: Optional[Callable] = None
 
 
 def make_stamp_fn(models: StampModels, scheduler_name: str, num_steps: int,
-                  deterministic_vae: bool = False):
+                  deterministic_vae: bool = False,
+                  deep_cache_interval: int = 1):
     """Build the pure stamp function for a fixed (scheduler, steps).
+
+    `deep_cache_interval > 1` enables DeepCache-style denoising: every
+    interval-th step runs the full UNet and caches its deep feature; the
+    steps in between run only the outermost level against the cache
+    (~3x fewer UNet FLOPs on cached steps). The full/shallow pattern is
+    statically interleaved - the scan body covers one cache period - so
+    no dynamic control flow enters the program.
 
     Returns fn(params, canvas_u8(1,H,W,4), brush(1,H,W,3)[0..1],
                cond(1,L,D), uncond(1,L,D), rng,
                cfg_weight, tg_weight, tg_steps, context_pad)
         -> (raw_u8(H,W,3), composited_u8(H,W,3))
     """
+    if deep_cache_interval > 1 and (
+            models.unet_full_apply is None or models.unet_shallow_apply is None):
+        raise ValueError("deep_cache_interval > 1 requires unet_full_apply "
+                         "and unet_shallow_apply")
     scheduler = make_scheduler(scheduler_name).set_timesteps(num_steps)
     rows = {k: jnp.asarray(v) for k, v in scheduler.scan_rows().items()}
     scale = models.vae_scaling
@@ -112,14 +129,22 @@ def make_stamp_fn(models: StampModels, scheduler_name: str, num_steps: int,
         step_keys = jax.random.split(step_rng, n_iters)
         sched_state = scheduler.init_state(latents.shape)
 
-        def body(carry, xs):
-            lat_t, st = carry
-            row, tg_scale, key = xs
+        def one_step(lat_t, st, row, tg_scale, key, cache, use_cache: bool):
             lat_in = jnp.concatenate([lat_t] * 3, axis=0)
             lat_in = scheduler.scale_model_input(lat_in, row)
             unet_in = jnp.concatenate([lat_in, mask_lat, masked_latents], axis=-1)
             t = jnp.broadcast_to(row["timestep"], (3,))
-            noise_pred = models.unet_apply(params["unet"], unet_in, t, embeddings)
+            if use_cache:
+                noise_pred = models.unet_shallow_apply(
+                    params["unet"], unet_in, t, embeddings, cache)
+                new_cache = cache
+            elif deep_cache_interval > 1:
+                noise_pred, new_cache = models.unet_full_apply(
+                    params["unet"], unet_in, t, embeddings)
+            else:
+                noise_pred = models.unet_apply(params["unet"], unet_in, t,
+                                               embeddings)
+                new_cache = cache
             eps_u, eps_c, eps_tg = jnp.split(noise_pred, 3, axis=0)
             # Dual guidance combine (reference denoise_latent:449-451).
             eps = (eps_u + cfg_weight * (eps_c - eps_u)
@@ -127,10 +152,51 @@ def make_stamp_fn(models: StampModels, scheduler_name: str, num_steps: int,
             noise = (jax.random.normal(key, lat_t.shape, jnp.float32)
                      if scheduler.stochastic else None)
             lat_t, st = scheduler.step(eps, lat_t, row, st, noise)
-            return (lat_t, st), None
+            return lat_t, st, new_cache
 
-        (latents, _), _ = jax.lax.scan(
-            body, (latents, sched_state), (rows, tg_scales, step_keys))
+        if deep_cache_interval <= 1:
+            def body(carry, xs):
+                lat_t, st = carry
+                row, tg_scale, key = xs
+                lat_t, st, _ = one_step(lat_t, st, row, tg_scale, key, None,
+                                        False)
+                return (lat_t, st), None
+
+            (latents, _), _ = jax.lax.scan(
+                body, (latents, sched_state), (rows, tg_scales, step_keys))
+        else:
+            period = deep_cache_interval
+            groups = n_iters // period
+            tail = n_iters - groups * period
+            take = lambda tree, sl: jax.tree_util.tree_map(
+                lambda a: a[sl], tree)
+            head_rows = take(rows, slice(0, groups * period))
+            head_rows = jax.tree_util.tree_map(
+                lambda a: a.reshape((groups, period) + a.shape[1:]), head_rows)
+            head_tg = tg_scales[: groups * period].reshape(groups, period)
+            head_keys = step_keys[: groups * period].reshape(
+                (groups, period) + step_keys.shape[1:])
+
+            def body(carry, xs):
+                lat_t, st = carry
+                rows_blk, tg_blk, keys_blk = xs
+                cache = None
+                for u in range(period):  # unrolled: full then shallow
+                    row_u = take(rows_blk, u)
+                    lat_t, st, cache = one_step(
+                        lat_t, st, row_u, tg_blk[u], keys_blk[u], cache,
+                        use_cache=(u > 0))
+                return (lat_t, st), None
+
+            (latents, sched_state), _ = jax.lax.scan(
+                body, (latents, sched_state), (head_rows, head_tg, head_keys))
+            # tail steps continue the same pattern, unrolled
+            cache = None
+            for s in range(groups * period, n_iters):
+                row_s = take(rows, s)
+                latents, sched_state, cache = one_step(
+                    latents, sched_state, row_s, tg_scales[s], step_keys[s],
+                    cache, use_cache=(s % period != 0))
 
         decoded = models.vae_decode_apply(params["vae_decoder"], latents / scale)
         result = jnp.clip(decoded / 2.0 + 0.5, 0.0, 1.0)

@@ -71,12 +71,18 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
 
         self.params = self._load_params(checkpoint_dir)
 
+        from ..models.unet import UNet2DCondition as _U
+
         models = StampModels(
             unet_apply=lambda p, s, t, c: self.unet.apply({"params": p}, s, t, c),
             vae_encode_apply=lambda p, x: self.vae_encoder.apply({"params": p}, x),
             vae_decode_apply=lambda p, z: self.vae_decoder.apply({"params": p}, z),
             params=None,  # params are passed per-call
             vae_scaling=vcfg.scaling_factor,
+            unet_full_apply=lambda p, s, t, c: self.unet.apply(
+                {"params": p}, s, t, c, method=_U.forward_full),
+            unet_shallow_apply=lambda p, s, t, c, cache: self.unet.apply(
+                {"params": p}, s, t, c, cache, method=_U.forward_shallow),
         )
         self.engine = Engine(models, self.config.scheduler)
         self._encode_brush = jax.jit(
@@ -100,6 +106,9 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
         if warmup:
             points = warmup_points or [(self._resolution,
                                         self.config.denoising_steps)]
+            points = [(p[0], p[1],
+                       p[2] if len(p) > 2 else self._cache_interval(p[1]))
+                      for p in points]
             self.engine.warmup(self.params, cond.shape[1:], points,
                               self._resolution)
 
@@ -177,9 +186,16 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
             brush = jnp.asarray(
                 crop_resize_square(self.image, res).astype(np.float32)[None])
 
-        fn = self.engine.stamp_fn(res, steps)
+        interval = self._cache_interval(steps)
+        fn = self.engine.stamp_fn(res, steps, interval)
         return fn(self.params, canvas_u8[None], brush, self._cond,
                   self._uncond, self._next_key(), cfg_w, tg_w, tg_steps, pad)
+
+    def _cache_interval(self, steps: int) -> int:
+        if (self.config.deep_cache_interval > 1
+                and steps >= self.config.deep_cache_min_steps):
+            return self.config.deep_cache_interval
+        return 1
 
     def generate_raw(self, canvas: np.ndarray, **settings) -> np.ndarray:
         steps = int(settings.get("steps", self.config.denoising_steps))

@@ -1,0 +1,83 @@
+"""DeepCache-style UNet feature caching tests (tiny models, CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from diffusiontexturepainting_tpu.core.config import (
+    PipelineConfig,
+    tiny_unet_config,
+)
+from diffusiontexturepainting_tpu.models.unet import UNet2DCondition
+from diffusiontexturepainting_tpu.pipeline.tpu_model import TPUConditionalInpainter
+
+
+def test_forward_shallow_uses_cache():
+    cfg = tiny_unet_config()
+    unet = UNet2DCondition(cfg)
+    sample = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 9))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 14, cfg.cross_attention_dim))
+    params = unet.init(jax.random.PRNGKey(2), sample, 1.0, ctx)["params"]
+
+    full_out, cache = unet.apply({"params": params}, sample, 500.0, ctx,
+                                 method=UNet2DCondition.forward_full)
+    assert cache.shape[:3] == (1, 16, 16)
+    # __call__ must equal forward_full's primary output
+    plain = unet.apply({"params": params}, sample, 500.0, ctx)
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(full_out),
+                               atol=1e-6)
+
+    shallow = unet.apply({"params": params}, sample, 500.0, ctx, cache,
+                         method=UNet2DCondition.forward_shallow)
+    assert shallow.shape == full_out.shape
+    # with the true cache at the same timestep, shallow == full exactly
+    np.testing.assert_allclose(np.asarray(shallow), np.asarray(full_out),
+                               atol=1e-5)
+    # a different cache changes the output (the cache is actually used)
+    shallow2 = unet.apply({"params": params}, sample, 500.0, ctx, cache + 1.0,
+                          method=UNet2DCondition.forward_shallow)
+    assert np.abs(np.asarray(shallow2) - np.asarray(shallow)).max() > 1e-3
+
+
+@pytest.fixture(scope="module")
+def cached_model():
+    return TPUConditionalInpainter(
+        resolution=64, tiny=True, warmup=False, verbose_timing=False,
+        config=PipelineConfig(deep_cache_interval=2, deep_cache_min_steps=4))
+
+
+def test_deep_cache_pipeline_runs(cached_model):
+    canvas = np.zeros((64, 64, 4), np.float32)
+    canvas[:16, :, 3] = 1.0
+    out = cached_model.generate(canvas, steps=4)  # interval 2, even steps
+    assert out.shape == (64, 64, 3)
+    out5 = cached_model.generate(canvas, steps=5)  # odd: exercises the tail
+    assert out5.shape == (64, 64, 3)
+
+
+def test_deep_cache_below_min_steps_disabled(cached_model):
+    canvas = np.zeros((64, 64, 4), np.float32)
+    canvas[:16, :, 3] = 1.0
+    cached_model.generate(canvas, steps=2)
+    assert (64, 2, 1) in cached_model.engine._stamp  # interval forced to 1
+
+
+def test_deep_cache_close_to_uncached(cached_model):
+    """Cached trajectory should stay in the neighborhood of the exact one
+    (same weights, same noise)."""
+    exact = TPUConditionalInpainter(resolution=64, tiny=True, warmup=False,
+                                    verbose_timing=False)
+    exact.params = cached_model.params
+    brush = np.random.default_rng(0).random((64, 64, 3)).astype(np.float32)
+    cached_model.set_brush(brush)
+    exact.set_brush(brush)
+    canvas = np.zeros((64, 64, 4), np.float32)
+    canvas[:16, :, 3] = 1.0
+    cached_model._request_counter = 50
+    exact._request_counter = 50
+    a = cached_model.generate_raw(canvas, steps=8)
+    b = exact.generate_raw(canvas, steps=8)
+    assert np.abs(a - b).mean() < 0.12  # same neighborhood, not identical
+    assert np.abs(a - b).max() > 0.0  # actually took the cached path
