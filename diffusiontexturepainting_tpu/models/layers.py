@@ -20,6 +20,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops.attention import attention
+from ..ops.conv3x3 import Conv3x3
 
 
 def timestep_embedding(timesteps, dim: int, flip_sin_to_cos: bool = True,
@@ -61,15 +62,31 @@ class GroupNorm32(nn.Module):
         # norm/bias) identical to the previous nn.GroupNorm layout that the
         # weight converter targets.
         scale, bias = _ScaleBias(c, name="norm")()
-        xg = x.reshape(x.shape[:-1] + (g, c // g))
-        red_axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
-        mean = jnp.mean(xg.astype(jnp.float32), axis=red_axes, keepdims=True)
-        var = jnp.mean(
-            jnp.square(xg.astype(jnp.float32) - mean), axis=red_axes,
-            keepdims=True)
-        inv = jax.lax.rsqrt(var + self.eps)
-        y = (xg - mean.astype(x.dtype)) * inv.astype(x.dtype)
-        y = y.reshape(x.shape)
+        # Group statistics in two stages that never change the tensor's
+        # native NHWC (C-in-lanes) layout:
+        #   1. one fused pass over x reducing the spatial axes in f32
+        #      (multi-output reduce: sum and sum-of-squares together),
+        #   2. a tiny (B,C)@(C,g) matmul against a one-hot group matrix to
+        #      collapse channels into groups.
+        # The obvious reshape-to-(..., g, C/g)-and-reduce forces XLA into a
+        # transposed (2,128)-tiled f32 materialization that cost ~8 ms per
+        # VAE-scale tensor (profiled); this formulation is pure bandwidth.
+        group_mat = jnp.asarray(
+            np.kron(np.eye(g), np.ones((c // g, 1))), jnp.float32)  # (C, g)
+        n_per_group = (c // g) * int(np.prod(x.shape[1:-1]))
+        xf = x.astype(jnp.float32)
+        axes = tuple(range(1, x.ndim - 1))
+        s1 = jnp.sum(xf, axis=axes) @ group_mat  # (B, g)
+        s2 = jnp.sum(jnp.square(xf), axis=axes) @ group_mat
+        mean_g = s1 / n_per_group
+        var_g = s2 / n_per_group - jnp.square(mean_g)
+        inv_g = jax.lax.rsqrt(var_g + self.eps)
+        # broadcast per-group stats back to per-channel via (g, C) gather
+        mean_c = mean_g @ group_mat.T  # (B, C)
+        inv_c = inv_g @ group_mat.T
+        shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (c,)
+        y = (x - mean_c.reshape(shape).astype(x.dtype)) \
+            * inv_c.reshape(shape).astype(x.dtype)
         return y * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
@@ -210,9 +227,9 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, temb=None):
         in_ch = x.shape[-1]
-        conv = lambda name, ch: nn.Conv(
-            ch, (3, 3), padding=1, dtype=self.dtype, param_dtype=jnp.float32,
-            name=name)
+        # Conv3x3: pallas implicit-GEMM on TPU (ops/conv3x3.py), XLA conv
+        # elsewhere; identical param tree to nn.Conv.
+        conv = lambda name, ch: Conv3x3(ch, dtype=self.dtype, name=name)
         h = GroupNorm32(self.num_groups, name="norm1")(x)
         h = conv("conv1", self.out_channels)(nn.silu(h))
         if self.use_temb and temb is not None:
@@ -257,8 +274,7 @@ class Upsample(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                       param_dtype=jnp.float32, name="conv")(x)
+        return Conv3x3(self.out_channels, dtype=self.dtype, name="conv")(x)
 
 
 class Transformer2D(nn.Module):
