@@ -70,3 +70,19 @@ def procedural_brush(prompt: str, size: int = 256) -> np.ndarray:
     img = np.kron(base, np.ones((8, 8, 1)))
     img += 0.15 * rng.standard_normal((size, size, 3))
     return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+
+def brush_from_prompt(prompt: str, size: int = 256,
+                      api_key: str | None = None) -> np.ndarray:
+    """Fallback chain: hosted txt2img when an API key is available
+    (argument or DTP_NVCF_API_KEY env var), deterministic procedural
+    texture otherwise. Never raises on missing network."""
+    import os
+
+    key = api_key or os.environ.get("DTP_NVCF_API_KEY", "")
+    if key:
+        try:
+            return generate_brush_from_prompt(prompt, key, size=size)
+        except RuntimeError as e:
+            logger.warning("txt2img failed (%s); using procedural brush", e)
+    return procedural_brush(prompt, size=size)

@@ -76,3 +76,15 @@ class WebsocketConditionalInpainter(ConditionalInpainterBase):
         raw = self.ws.recv()
         res = server_io.decode_response(raw)
         return ensure_float01(res["image"][..., :3])
+
+    def set_brush_prompt(self, prompt: str, **settings) -> np.ndarray:
+        """Send a NEW_BRUSH_PROMPT request: the server synthesizes a brush
+        image from the prompt (hosted txt2img or procedural fallback) and
+        replies with a preview. Completes protocol type 1, which the
+        reference declares but never serves (server_io.py:19-24)."""
+        req = server_io.encode_brush_prompt_request(prompt, **settings)
+        self.ws.send(req)
+        resp = server_io.decode_response(self.ws.recv())
+        self._pending_brush = None
+        self.image = None  # brush lives server-side; disable local shortcut
+        return resp["image"].astype(np.float32) / 255.0

@@ -33,10 +33,6 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Max bytes of one padded activation image allowed in VMEM (leaves room
-# for the weight block, accumulator, and output tile in ~16 MB VMEM).
-_VMEM_X_BUDGET = int(9.5 * 1024 * 1024)
-_VMEM_W_BUDGET = 6 * 1024 * 1024
 
 
 def _lax_conv3x3(x, w, b):
@@ -49,32 +45,31 @@ def _lax_conv3x3(x, w, b):
     return out.astype(x.dtype)
 
 
-def _pick_nt(cout: int, cin: int) -> Optional[int]:
-    """Largest divisor of cout whose (9, Cin, N_T) weight block fits the
-    VMEM budget; prefer lane-aligned (multiple of 128) tiles."""
-    candidates = ([cout] if cout <= 512 else []) + [512, 384, 256, 128]
-    for nt in candidates:
-        if cout % nt == 0 and 9 * cin * nt * 2 <= _VMEM_W_BUDGET:
-            return nt
-    return None
+def _vmem_estimate(H, W, Cin, nt, ht, fused) -> int:
+    """Conservative VMEM bytes for one grid step: Mosaic double-buffers the
+    streamed blocks (x, w, out, residual); the fused variant additionally
+    holds an f32 normalized row-band and the mask temporaries."""
+    xb = (H + 2) * (W + 2) * Cin * 2 * 2
+    wb = 9 * Cin * nt * 2 * 2
+    ob = ht * W * nt * 2 * 2
+    res = ht * W * nt * 2 * 2  # residual epilogue block (fused path)
+    acc = ht * W * nt * 4
+    if fused:
+        tmp = (ht + 2) * (W + 2) * Cin * (4 + 2)  # f32 band + bf16 cast
+    else:
+        tmp = ht * W * Cin * 2 * 2  # tap slab copies
+    return xb + wb + ob + acc + tmp + (res if fused else 0)
 
 
-def _pick_ht(h: int, w: int) -> Optional[int]:
-    """Rows per tile: aim for 1024-4096 GEMM rows per tap."""
-    best = None
-    for ht in (64, 32, 16, 8, 4, 2, 1):
-        if h % ht:
-            continue
-        m = ht * w
-        if m > 4096 and ht != 1:
-            continue
-        best = ht
-        break
-    return best
+_VMEM_LIMIT = int(13.5 * 1024 * 1024)
 
 
-def pallas_plan(x_shape, w_shape):
-    """Return (H_T, N_T) if the pallas kernel supports this conv, else None."""
+def pallas_plan(x_shape, w_shape, fused: bool = False):
+    """Return (H_T, N_T) if the pallas kernel supports this conv, else None.
+
+    Walks (N_T, H_T) tile candidates largest-first and returns the first
+    combination whose working set fits VMEM (incl. double buffering).
+    """
     if len(x_shape) != 4 or len(w_shape) != 4:
         return None
     B, H, W, Cin = x_shape
@@ -85,14 +80,33 @@ def pallas_plan(x_shape, w_shape):
     # UNet's 9-channel conv_in) - XLA's conv handles those better.
     if H < 2 or W < 2 or Cin < 16 or Cout < 128:
         return None
-    nt = _pick_nt(Cout, Cin)
-    ht = _pick_ht(H, W)
-    if nt is None or ht is None:
+    # lane-legal cout tiles: divisible by 128 or the whole dimension
+    nts = ([Cout] if Cout <= 512 else []) + [
+        nt for nt in (512, 384, 256, 128) if Cout % nt == 0]
+    # H_T multiples of 8 so the dynamic row-slice start stays provably
+    # aligned for Mosaic; whole-H fallback for small images.
+    hts = [ht for ht in (64, 32, 16, 8)
+           if H % ht == 0 and ht * W <= 4096]
+    if not hts:
+        # tiny or indivisible H: whole image per tile (single grid step, so
+        # the dynamic row start is trivially aligned)
+        hts = [8] if H % 8 == 0 else [H]
+    if not fused:
+        # Plain kernel: simple budgets validated on hardware (one padded
+        # image + one cout-tile of weights resident; Mosaic streams the
+        # rest). The pessimistic double-buffer model below would reject
+        # shapes that demonstrably compile and run at >130 TFLOP/s.
+        if (H + 2) * (W + 2) * Cin * 2 > int(9.5 * 1024 * 1024):
+            return None
+        for nt in nts:
+            if 9 * Cin * nt * 2 <= 6 * 1024 * 1024:
+                return hts[0], nt
         return None
-    # one padded image per grid step (batch is a grid dimension)
-    if (H + 2) * (W + 2) * Cin * 2 > _VMEM_X_BUDGET:
-        return None
-    return ht, nt
+    for nt in nts:
+        for ht in hts:
+            if _vmem_estimate(H, W, Cin, nt, ht, fused) <= _VMEM_LIMIT:
+                return ht, nt
+    return None
 
 
 def _conv_kernel(x_ref, w_ref, b_ref, out_ref, *, H_T, W, Cin, N_T):
@@ -104,11 +118,12 @@ def _conv_kernel(x_ref, w_ref, b_ref, out_ref, *, H_T, W, Cin, N_T):
     out_ref:(1, H_T, W, N_T)
     """
     hi = pl.program_id(2)
+    row0 = pl.multiple_of(hi * H_T, H_T)
     bias = b_ref[0].astype(jnp.float32)
     acc = None
     for k in range(9):
         di, dj = k // 3, k % 3
-        slab = x_ref[0, pl.ds(hi * H_T + di, H_T), pl.ds(dj, W), :]
+        slab = x_ref[0, pl.ds(row0 + di, H_T), pl.ds(dj, W), :]
         a = slab.reshape(H_T * W, Cin)
         d = jnp.dot(a, w_ref[k], preferred_element_type=jnp.float32)
         acc = d if acc is None else acc + d
@@ -201,11 +216,268 @@ class Conv3x3(nn.Module):
     force: str = "auto"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, params_only: bool = False):
         cin = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, cin, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
+        if params_only:
+            # declare-only mode for callers that fuse the conv into a
+            # larger kernel (gn_silu_conv3x3)
+            return kernel, bias
         return conv3x3(x.astype(self.dtype), kernel.astype(self.dtype),
                        bias.astype(self.dtype), self.force)
+
+
+# ---------------------------------------------------------------------------
+# Fused GroupNorm(+affine) -> SiLU -> 3x3 conv (+ time-embedding / residual
+# adds). The SD ResnetBlock body is exactly two of these.
+#
+# STATUS: experimental, NOT wired into ResnetBlock. Measured end-to-end on
+# v5e it is ~10% slower than the unfused GroupNorm32 + Conv3x3 path: the
+# per-image statistics pass (whether in XLA or in-kernel under pl.when)
+# serializes against the MXU tap pipeline, while XLA's own fusion of the
+# unfused form overlaps it. Kept (with tests) for future Mosaic versions.
+#
+# GroupNorm statistics stay in XLA (one cheap fused reduction pass); the
+# kernel receives the folded per-(batch, channel) affine a, c with
+# y = x * a + c == GN(x) * scale + bias, and applies affine -> SiLU ->
+# zero-border -> 9 MXU taps -> +bias (+temb) (+residual) without any of the
+# intermediate tensors (normalized x, silu(x), padded x, pre-residual sum)
+# ever touching HBM. Profiling showed those intermediates - not the conv
+# itself - dominate the ResnetBlock on this hardware (layout-conflict
+# copies between GroupNorm's f32 reduction and the conv's NHWC layout).
+# ---------------------------------------------------------------------------
+
+
+def gn_affine_params(x, scale, bias, num_groups: int, eps: float):
+    """Fold GroupNorm stats + affine into per-(B, C) a, c (float32)."""
+    c = x.shape[-1]
+    g = num_groups
+    gmat = jnp.asarray(np.kron(np.eye(g), np.ones((c // g, 1))), jnp.float32)
+    axes = tuple(range(1, x.ndim - 1))
+    n = (c // g) * int(np.prod([x.shape[i] for i in axes]))
+    s1 = jnp.sum(x, axis=axes, dtype=jnp.float32) @ gmat
+    s2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axes) @ gmat
+    mean_g = s1 / n
+    var_g = s2 / n - jnp.square(mean_g)
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = mean_g @ gmat.T  # (B, C)
+    inv_c = inv_g @ gmat.T
+    a = inv_c * scale.astype(jnp.float32)[None]
+    cc = bias.astype(jnp.float32)[None] - mean_c * a
+    return a, cc
+
+
+def _silu_f32(v):
+    return v * jax.nn.sigmoid(v)
+
+
+def _gn_conv_kernel(*refs, H, W, H_T, Cin, N_T, G, eps,
+                    has_temb, has_res):
+    if has_temb and has_res:
+        (x_ref, s_ref, b0_ref, gm_ref, w_ref, b_ref, t_ref, r_ref,
+         out_ref, ac_ref) = refs
+    elif has_temb:
+        x_ref, s_ref, b0_ref, gm_ref, w_ref, b_ref, t_ref, out_ref, ac_ref = refs
+        r_ref = None
+    elif has_res:
+        x_ref, s_ref, b0_ref, gm_ref, w_ref, b_ref, r_ref, out_ref, ac_ref = refs
+        t_ref = None
+    else:
+        x_ref, s_ref, b0_ref, gm_ref, w_ref, b_ref, out_ref, ac_ref = refs
+        t_ref = r_ref = None
+    bb = pl.program_id(0)
+    ni = pl.program_id(1)
+    hi = pl.program_id(2)
+
+    # GroupNorm statistics, computed in-kernel on the VMEM-resident block
+    # once per batch image (first grid step of each b) and cached in
+    # scratch. The zero SAME-padding border contributes nothing to either
+    # sum, so summing the whole padded block is exact. Keeping the stats
+    # here (instead of an XLA reduce) avoids the transposed-f32
+    # materializations XLA picks for NHWC spatial reductions.
+    @pl.when((ni == 0) & (hi == 0))
+    def _compute_stats():
+        s1 = jnp.zeros((1, Cin), jnp.float32)
+        s2 = jnp.zeros((1, Cin), jnp.float32)
+        for h0 in range(0, H + 2, 8):
+            hh = min(8, H + 2 - h0)
+            chunk = x_ref[0, h0:h0 + hh, :, :].astype(jnp.float32)
+            s1_c = jnp.sum(chunk, axis=(0, 1))
+            s2_c = jnp.sum(chunk * chunk, axis=(0, 1))
+            s1 = s1 + s1_c[None]
+            s2 = s2 + s2_c[None]
+        # collapse channels->groups and expand back with tiny MXU dots
+        # against the one-hot (Cin, G) matrix (a lane->sublane reshape of
+        # the (1, Cin) sums is an unsupported relayout in Mosaic)
+        n = H * W * (Cin // G)
+        gm = gm_ref[:, :]  # (Cin, G) f32 one-hot
+        s1g = jnp.dot(s1, gm, preferred_element_type=jnp.float32)  # (1, G)
+        s2g = jnp.dot(s2, gm, preferred_element_type=jnp.float32)
+        mean_g = s1g / n
+        var_g = s2g / n - mean_g * mean_g
+        inv_g = jax.lax.rsqrt(var_g + eps)
+        expand = lambda v: jax.lax.dot_general(
+            v, gm, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (1, G)x(Cin, G) -> (1, Cin)
+        mean_c = expand(mean_g)
+        inv_c = expand(inv_g)
+        a = inv_c * s_ref[:, :].astype(jnp.float32)
+        c0 = b0_ref[:, :].astype(jnp.float32) - mean_c * a
+        ac_ref[0:1, :] = a
+        ac_ref[1:2, :] = c0
+
+    rows = x_ref[0, pl.ds(pl.multiple_of(hi * H_T, H_T), H_T + 2), :, :]
+    a = ac_ref[0:1, :][0]
+    c0 = ac_ref[1:2, :][0]
+    v = rows.astype(jnp.float32) * a[None, None, :] + c0[None, None, :]
+    v = _silu_f32(v)
+    # zero the 1-px SAME-padding border (it must contribute 0 to the taps).
+    # 2D f32 0/1 mask broadcast over channels: minor-dim insertion is only
+    # legal for 32-bit types, and a 3D iota would cost ~10 MB of VMEM.
+    gr = hi * H_T + jax.lax.broadcasted_iota(jnp.int32, (H_T + 2, W + 2), 0)
+    gc = jax.lax.broadcasted_iota(jnp.int32, (H_T + 2, W + 2), 1)
+    interior = (gr >= 1) & (gr <= H) & (gc >= 1) & (gc <= W)
+    v = (v * interior.astype(jnp.float32)[..., None]).astype(x_ref.dtype)
+    acc = None
+    for k in range(9):
+        di, dj = divmod(k, 3)
+        slab = jax.lax.slice(v, (di, dj, 0), (di + H_T, dj + W, Cin))
+        d = jnp.dot(slab.reshape(H_T * W, Cin), w_ref[k],
+                    preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
+    y = acc + b_ref[0].astype(jnp.float32)[None]
+    if t_ref is not None:
+        # t_ref is (B, n_tiles, N_T); select [bb, ni] via masked sum
+        arr = t_ref[:, :, :].astype(jnp.float32)
+        selb = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 0) == bb
+        seln = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 1) == ni
+        tv = jnp.sum(arr * (selb & seln).astype(jnp.float32), axis=(0, 1))
+        y = y + tv[None]
+    y = y.reshape(H_T, W, N_T)
+    if r_ref is not None:
+        y = y + r_ref[0].astype(jnp.float32)
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def _gn_conv_pallas(x, scale, bias, w, b, temb, residual, plan,
+                    num_groups, eps, interpret=False):
+    B, H, W, Cin = x.shape
+    Cout = w.shape[-1]
+    H_T, N_T = plan
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    w9 = w.reshape(9, Cin, Cout)
+    b2 = (b if b is not None else jnp.zeros((Cout,), x.dtype)).reshape(1, Cout)
+    scale2 = scale.astype(jnp.float32).reshape(1, Cin)
+    bias2 = bias.astype(jnp.float32).reshape(1, Cin)
+    gmat = jnp.asarray(
+        np.kron(np.eye(num_groups), np.ones((Cin // num_groups, 1))),
+        jnp.float32)  # (Cin, G)
+
+    kernel = functools.partial(
+        _gn_conv_kernel, H=H, W=W, H_T=H_T, Cin=Cin, N_T=N_T,
+        G=num_groups, eps=eps,
+        has_temb=temb is not None, has_res=residual is not None)
+    in_specs = [
+        pl.BlockSpec((1, H + 2, W + 2, Cin), lambda bb, n, h: (bb, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Cin), lambda bb, n, h: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Cin), lambda bb, n, h: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Cin, num_groups), lambda bb, n, h: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((9, Cin, N_T), lambda bb, n, h: (0, 0, n),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N_T), lambda bb, n, h: (0, n),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [xp, scale2, bias2, gmat, w9, b2]
+    if temb is not None:
+        temb3 = temb.reshape(B, Cout // N_T, N_T)
+        in_specs.append(pl.BlockSpec(temb3.shape, lambda bb, n, h: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(temb3)
+    if residual is not None:
+        in_specs.append(pl.BlockSpec((1, H_T, W, N_T),
+                                     lambda bb, n, h: (bb, h, 0, n),
+                                     memory_space=pltpu.VMEM))
+        args.append(residual)
+    flops = 2 * B * H * W * Cin * Cout * 9
+    return pl.pallas_call(
+        kernel,
+        grid=(B, Cout // N_T, H // H_T),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, H_T, W, N_T),
+                               lambda bb, n, h: (bb, h, 0, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
+        scratch_shapes=[pltpu.VMEM((8, Cin), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(xp.size + w9.size + B * H * W * Cout)
+            * x.dtype.itemsize,
+            transcendentals=B * (H + 2) * (W + 2) * Cin,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def _gn_conv_reference(x, scale, bias, w, b, temb, residual,
+                       num_groups, eps):
+    a, c = gn_affine_params(x, scale, bias, num_groups, eps)
+    shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],)
+    v = x.astype(jnp.float32) * a.reshape(shape) + c.reshape(shape)
+    v = _silu_f32(v).astype(x.dtype)
+    y = _lax_conv3x3(v, w, b).astype(jnp.float32)
+    if temb is not None:
+        y = y + temb.astype(jnp.float32)[:, None, None, :]
+    if residual is not None:
+        y = y + residual.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _gn_conv_dispatch(x, scale, bias, w, b, temb, residual,
+                      num_groups, eps, force):
+    if force == "xla":
+        return _gn_conv_reference(x, scale, bias, w, b, temb, residual,
+                                  num_groups, eps)
+    plan = pallas_plan(x.shape, w.shape, fused=True)
+    backend = jax.default_backend()
+    if plan is None or (force != "pallas" and backend != "tpu"):
+        return _gn_conv_reference(x, scale, bias, w, b, temb, residual,
+                                  num_groups, eps)
+    return _gn_conv_pallas(x, scale, bias, w, b, temb, residual, plan,
+                           num_groups, eps, interpret=(backend != "tpu"))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def gn_silu_conv3x3(x, scale, bias, w, b, temb, residual,
+                    num_groups=32, eps=1e-5, force="auto"):
+    """GroupNorm(scale,bias) -> SiLU -> 3x3 SAME conv(w,b)
+    [+ temb (B,Cout)] [+ residual (B,H,W,Cout)], fused on TPU.
+
+    temb / residual may be None (static). force: "auto"|"pallas"|"xla".
+    """
+    return _gn_conv_dispatch(x, scale, bias, w, b, temb, residual,
+                             num_groups, eps, force)
+
+
+def _gn_conv_fwd(x, scale, bias, w, b, temb, residual,
+                 num_groups, eps, force):
+    out = _gn_conv_dispatch(x, scale, bias, w, b, temb, residual,
+                            num_groups, eps, force)
+    return out, (x, scale, bias, w, b, temb, residual)
+
+
+def _gn_conv_bwd(num_groups, eps, force, res, g):
+    x, scale, bias, w, b, temb, residual = res
+    _, vjp = jax.vjp(
+        lambda *args: _gn_conv_reference(*args, num_groups, eps),
+        x, scale, bias, w, b, temb, residual)
+    return vjp(g)
+
+
+gn_silu_conv3x3.defvjp(_gn_conv_fwd, _gn_conv_bwd)

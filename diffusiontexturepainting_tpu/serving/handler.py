@@ -20,6 +20,78 @@ from .model_base import ConditionalInpainterBase, ensure_float01, float01_to_uin
 logger = logging.getLogger(__name__)
 
 
+def _debug_dump(debug_dir, tag, **arrays):
+    """Dump request/response images for offline inspection (the reference
+    reserves a --debug_dir flag, run.py:49-50, but never wires it; this
+    build does)."""
+    if not debug_dir:
+        return
+    import os
+    import time as _time
+
+    os.makedirs(debug_dir, exist_ok=True)
+    stamp = f"{_time.time():.3f}"
+    for name, arr in arrays.items():
+        np.save(os.path.join(debug_dir, f"{stamp}_{tag}_{name}.npy"), arr)
+
+
+def _brush_preview_reply(model, settings):
+    """Encode a RETURN_PREVIEW for the current brush: generate into a
+    canvas with the brush known in the top-left quadrant (reference
+    handler.py:92-101 + preview_mask 48-52)."""
+    res = model.resolution()
+    brush_sq = getattr(model, "image", None)
+    if brush_sq is None:
+        brush_sq = np.zeros((res, res, 3), np.float32)
+    context = model.create_preview_brush_context(brush_sq)
+    result = model.generate(context, **settings)
+    return server_io.encode_generated_response(
+        server_io.RequestType.RETURN_PREVIEW, float01_to_uint8(result))
+
+
+def handle_request_bytes(model, raw_message: bytes,
+                         debug_dir: str | None = None) -> bytes:
+    """Decode one binary request, run the model, and return the encoded
+    binary reply. Transport-independent: used by the websocket handler and
+    the HTTP POST fallback endpoint alike."""
+    # native C++ codec when built (zero-copy image view); Python struct
+    # codec otherwise (native_io falls back internally).
+    from . import native_io
+
+    (msg_type,) = np.frombuffer(raw_message[:1], np.uint8)
+    if msg_type == server_io.RequestType.NEW_BRUSH_PROMPT.value:
+        _, settings, offset = server_io.decode_request_metadata(raw_message)
+        prompt = server_io.decode_prompt_payload(raw_message, offset)
+        # prompt -> brush image: NVCF txt2img when an API key is configured,
+        # deterministic procedural texture otherwise (same fallback chain as
+        # the client, nvcf_txt2img.py). Completes RequestType 1, which the
+        # reference declares but never implements (server_io.py:19-24).
+        from ..client.nvcf_txt2img import brush_from_prompt
+
+        brush = brush_from_prompt(prompt, size=model.resolution())
+        model.set_brush(ensure_float01(brush))
+        _debug_dump(debug_dir, "brush_prompt", brush=brush)
+        return _brush_preview_reply(model, settings)
+
+    meta, settings, image = native_io.decode_request(raw_message)
+    if meta["type"] == server_io.RequestType.NEW_BRUSH_IMAGE.value:
+        model.set_brush(ensure_float01(image[..., :3]))
+        _debug_dump(debug_dir, "brush", brush=image)
+        return _brush_preview_reply(model, settings)
+    if meta["type"] == server_io.RequestType.NEW_STAMP.value:
+        # models exposing the uint8 fast path (generate_u8) skip all
+        # host-side float conversions - wire bytes go straight to device
+        if hasattr(model, "generate_u8"):
+            result_u8 = model.generate_u8(image, **settings)
+        else:
+            result_u8 = float01_to_uint8(
+                model.generate(ensure_float01(image), **settings))
+        _debug_dump(debug_dir, "stamp", canvas=image, result=result_u8)
+        return server_io.encode_generated_response(
+            server_io.RequestType.RETURN_STAMP, result_u8)
+    raise NotImplementedError(f"Unknown binary request type {meta['type']}")
+
+
 class InpaintWebSocketHandler(WebSocketHandler):
     """Handles websocket communication with the painting client."""
 
@@ -42,51 +114,9 @@ class InpaintWebSocketHandler(WebSocketHandler):
             logger.exception("Failed to handle incoming message: %s", e)
 
     def _handle_binary_request(self, raw_message: bytes):
-        # native C++ codec when built (zero-copy image view); Python
-        # struct codec otherwise (native_io falls back internally).
-        from . import native_io
-
-        meta, settings, image = native_io.decode_request(raw_message)
-        if meta["type"] == server_io.RequestType.NEW_BRUSH_IMAGE.value:
-            self._handle_new_image_brush_request(settings,
-                                                 {"image": image[..., :3]})
-        elif meta["type"] == server_io.RequestType.NEW_STAMP.value:
-            self._handle_stamp_request(settings, image)
-        else:
-            raise NotImplementedError(f"Unknown binary request type {meta['type']}")
-
-    def _handle_new_image_brush_request(self, settings, request):
-        """Set brush conditioning image and return a generated preview.
-
-        The preview canvas has the brush image known in the top-left
-        quadrant (reference handler.py:92-101 + preview_mask 48-52).
-        """
-        brush = ensure_float01(request["image"])
-        self.model.set_brush(brush)
-        res = self.model.resolution()
-        brush_sq = getattr(self.model, "image", None)
-        if brush_sq is None:
-            brush_sq = np.zeros((res, res, 3), np.float32)
-        context = self.model.create_preview_brush_context(brush_sq)
-        result = self.model.generate(context, **settings)
-        payload = server_io.encode_generated_response(
-            server_io.RequestType.RETURN_PREVIEW, float01_to_uint8(result)
-        )
-        self.write_message(payload, binary=True)
-
-    def _handle_stamp_request(self, settings, context_u8: np.ndarray):
-        """Inpaint one brush stamp. Models exposing the uint8 fast path
-        (generate_u8) skip all host-side float conversions - the wire
-        bytes go straight to the device program."""
-        if hasattr(self.model, "generate_u8"):
-            result_u8 = self.model.generate_u8(context_u8, **settings)
-        else:
-            result_u8 = float01_to_uint8(
-                self.model.generate(ensure_float01(context_u8), **settings))
-        payload = server_io.encode_generated_response(
-            server_io.RequestType.RETURN_STAMP, result_u8
-        )
-        self.write_message(payload, binary=True)
+        reply = handle_request_bytes(self.model, raw_message,
+                                     debug_dir=self.debug_dir)
+        self.write_message(reply, binary=True)
 
     def _handle_json_request(self, raw_message: str):
         json.loads(raw_message)

@@ -28,6 +28,30 @@ class HealthHandler(tornado.web.RequestHandler):
         self.write({"status": "ok", "model": self.application.settings.get("model_info", "")})
 
 
+class InpaintHTTPHandler(tornado.web.RequestHandler):
+    """HTTP POST fallback speaking the same binary wire format as the
+    websocket (request bytes in the body, response bytes back) - the
+    analog of the reference's Flask WSGI fallback container
+    (trt_inference/run.py:27-43)."""
+
+    def initialize(self, model, debug_dir=None):
+        self.model = model
+        self.debug_dir = debug_dir
+
+    def post(self):
+        from .handler import handle_request_bytes
+
+        try:
+            reply = handle_request_bytes(self.model, self.request.body,
+                                         debug_dir=self.debug_dir)
+        except Exception as e:  # noqa: BLE001 - report protocol errors
+            self.set_status(400)
+            self.write({"error": str(e)})
+            return
+        self.set_header("Content-Type", "application/octet-stream")
+        self.write(bytes(reply))
+
+
 def create_server(model=None, resolution: int = 256, debug_dir: str | None = None,
                   mock: bool = False, warmup: bool = True):
     """Create the Tornado application around an inpainter model."""
@@ -49,6 +73,8 @@ def create_server(model=None, resolution: int = 256, debug_dir: str | None = Non
         [
             (r"/websocket/", InpaintWebSocketHandler,
              dict(model=model, model_info_str=model_info, debug_dir=debug_dir)),
+            (r"/inpaint", InpaintHTTPHandler,
+             dict(model=model, debug_dir=debug_dir)),
             (r"/health", HealthHandler),
         ],
         model_info=model_info,

@@ -160,3 +160,29 @@ def encode_brush_request(brush_hwc_u8: np.ndarray, **settings) -> bytes:
         + encode_inference_settings(**settings)
         + image_to_binary(brush_hwc_u8)
     )
+
+
+# --- NEW_BRUSH_PROMPT payload ------------------------------------------------
+# The reference defines RequestType.NEW_BRUSH_PROMPT=1 in its enum
+# (server_io.py:19-24) but never implements the server side; this build
+# completes it. Payload after the settings header: [u32 len][utf-8 bytes].
+
+
+def encode_prompt_payload(prompt: str) -> bytes:
+    data = prompt.encode("utf-8")
+    return struct.pack("<I", len(data)) + data
+
+
+def decode_prompt_payload(bytes_msg: bytes, offset: int = 0) -> str:
+    (length,) = struct.unpack_from("<I", bytes_msg, offset)
+    start = offset + 4
+    return bytes(bytes_msg[start:start + length]).decode("utf-8")
+
+
+def encode_brush_prompt_request(prompt: str, **settings) -> bytes:
+    """Full NEW_BRUSH_PROMPT request."""
+    return (
+        encode_request_type(RequestType.NEW_BRUSH_PROMPT)
+        + encode_inference_settings(**settings)
+        + encode_prompt_payload(prompt)
+    )

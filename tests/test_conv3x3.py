@@ -82,3 +82,71 @@ def test_module_param_tree_matches_nn_conv():
     y2 = m2.apply({"params": p1}, x)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
                                atol=1e-5, rtol=1e-5)
+
+
+def _gn_ref(x, scale, bias, g, eps=1e-5):
+    import jax.numpy as jnp
+    c = x.shape[-1]
+    xg = x.reshape(x.shape[:-1] + (g, c // g)).astype(jnp.float32)
+    axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
+    m = jnp.mean(xg, axis=axes, keepdims=True)
+    v = jnp.mean(jnp.square(xg - m), axis=axes, keepdims=True)
+    y = ((xg - m) * jax.lax.rsqrt(v + eps)).reshape(x.shape)
+    return y * scale + bias
+
+
+@pytest.mark.parametrize("extras", ["none", "temb", "residual", "both"])
+def test_fused_gn_silu_conv(extras):
+    from diffusiontexturepainting_tpu.ops.conv3x3 import gn_silu_conv3x3
+
+    B, H, W, Cin, Cout, G = 2, 8, 8, 32, 128, 4
+    x = _rand((B, H, W, Cin), 0)
+    scale = _rand((Cin,), 1) * 0.3 + 1.0
+    bias = _rand((Cin,), 2) * 0.3
+    w = _rand((3, 3, Cin, Cout), 3) * 0.1
+    b = _rand((Cout,), 4) * 0.1
+    temb = _rand((B, Cout), 5) if extras in ("temb", "both") else None
+    res = _rand((B, H, W, Cout), 6) if extras in ("residual", "both") else None
+
+    # hand-rolled unfused reference
+    h = _gn_ref(x, scale, bias, G)
+    h = h * jax.nn.sigmoid(h)
+    ref = conv3x3(h, w, b, "xla").astype(jnp.float32)
+    if temb is not None:
+        ref = ref + temb[:, None, None, :]
+    if res is not None:
+        ref = ref + res
+
+    out_xla = gn_silu_conv3x3(x, scale, bias, w, b, temb, res, G,
+                              1e-5, "xla")
+    np.testing.assert_allclose(np.asarray(out_xla), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)
+    out_pl = gn_silu_conv3x3(x, scale, bias, w, b, temb, res, G,
+                             1e-5, "pallas")  # interpret mode on CPU
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_fused_gn_silu_conv_grads():
+    from diffusiontexturepainting_tpu.ops.conv3x3 import gn_silu_conv3x3
+
+    B, H, W, Cin, Cout, G = 2, 8, 8, 32, 128, 4
+    x = _rand((B, H, W, Cin), 0)
+    scale = _rand((Cin,), 1) * 0.3 + 1.0
+    bias = _rand((Cin,), 2) * 0.3
+    w = _rand((3, 3, Cin, Cout), 3) * 0.1
+    b = _rand((Cout,), 4) * 0.1
+    t = _rand((B, H, W, Cout), 7)
+
+    def loss(force):
+        def f(x_, s_, b_, w_, wb_):
+            out = gn_silu_conv3x3(x_, s_, b_, w_, wb_, None, None, G,
+                                  1e-5, force)
+            return jnp.mean((out - t) ** 2)
+        return f
+
+    g0 = jax.grad(loss("xla"), argnums=(0, 1, 2, 3, 4))(x, scale, bias, w, b)
+    g1 = jax.grad(loss("pallas"), argnums=(0, 1, 2, 3, 4))(x, scale, bias, w, b)
+    for a, r in zip(g1, g0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=1e-4, rtol=1e-3)
