@@ -70,6 +70,7 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
         self.patch_encoder = ConditionPatchEncoder(pcfg, dtype=dtype)
 
         self.params = self._load_params(checkpoint_dir)
+        self.params = self._cast_params_for_serving(self.params)
 
         from ..models.unet import UNet2DCondition as _U
 
@@ -127,11 +128,26 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
             self.unet, self.vae_encoder, self.vae_decoder, self.patch_encoder,
             resolution=min(self._resolution, 64))
 
+    def _cast_params_for_serving(self, params):
+        """Store serving params in bf16 once at load. Keeping them f32
+        makes every stamp re-cast 860M params (f32->bf16 convert ops
+        profiled at ~6 ms/stamp) and doubles weight HBM reads (~3.4 GB per
+        UNet step instead of 1.7 GB). The reference's analog is building
+        fp16 TRT engines (models.py fp16=True)."""
+        if self.dtype != jnp.bfloat16:
+            return params
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a,
+            params)
+
     def reload_params(self, checkpoint_dir: str) -> None:
         """Hot-swap weights without recompiling (params are program
         arguments, so compiled stamp programs are reused) - the analog of
         the reference's TRT engine refit path (utilities.py:88-189)."""
-        self.params = self._load_params(checkpoint_dir)
+        self.params = self._cast_params_for_serving(
+            self._load_params(checkpoint_dir))
         # re-encode the current brush under the new encoder weights
         self.set_brush(self.image)
 

@@ -150,3 +150,21 @@ def test_fused_gn_silu_conv_grads():
     for a, r in zip(g1, g0):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    atol=1e-4, rtol=1e-3)
+
+
+def test_spatial_moments_pallas_matches_reference():
+    from diffusiontexturepainting_tpu.ops.groupnorm import (
+        spatial_moments, stats_plan)
+
+    x = _rand((2, 16, 16, 128), 0)  # below size gate -> force pallas
+    assert stats_plan((2, 512, 512, 128)) is not None
+    s1_ref, s2_ref = spatial_moments(x, "xla")
+    s1, s2 = spatial_moments(x, "pallas")  # interpret mode on CPU
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s1_ref),
+                               rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s2_ref),
+                               rtol=1e-5, atol=1e-3)
+    # gradient flows through the custom vjp
+    g = jax.grad(lambda x_: jnp.sum(spatial_moments(x_, "pallas")[1]))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(2.0 * x),
+                               rtol=1e-5, atol=1e-4)
