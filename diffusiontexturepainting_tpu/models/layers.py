@@ -20,7 +20,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops.attention import attention
-from ..ops.conv3x3 import Conv3x3
+from ..ops.conv3x3 import Conv3x3, upsample2x_conv3x3
 
 
 def timestep_embedding(timesteps, dim: int, flip_sin_to_cos: bool = True,
@@ -265,16 +265,21 @@ class Downsample(nn.Module):
 
 
 class Upsample(nn.Module):
-    """Nearest x2 + 3x3 conv."""
+    """Nearest x2 + 3x3 conv, fused as four subpixel 2x2-tap convs on TPU
+    (ops/conv3x3.py upsample2x_conv3x3): 2.25x fewer conv FLOPs and no 4x
+    upsampled materialization. Param tree identical to the unfused
+    Conv3x3/nn.Conv ("conv" child)."""
 
     out_channels: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, c = x.shape
-        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        return Conv3x3(self.out_channels, dtype=self.dtype, name="conv")(x)
+        kernel, bias = Conv3x3(self.out_channels, dtype=self.dtype,
+                               name="conv")(x, params_only=True)
+        return upsample2x_conv3x3(x.astype(self.dtype),
+                                  kernel.astype(self.dtype),
+                                  bias.astype(self.dtype))
 
 
 class Transformer2D(nn.Module):

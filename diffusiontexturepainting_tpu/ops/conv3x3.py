@@ -481,3 +481,150 @@ def _gn_conv_bwd(num_groups, eps, force, res, g):
 
 
 gn_silu_conv3x3.defvjp(_gn_conv_fwd, _gn_conv_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Subpixel fused nearest-2x-upsample + 3x3 conv.
+#
+# conv3x3(nearest_upsample_2x(x)) decomposes exactly into four parity
+# planes, each a 2x2-tap conv over the SOURCE image with folded weights:
+# out[2y+ry, 2x+rx] = sum_{di,dj} w[di,dj] * src[y+floor((ry+di-1)/2),
+#                                               x+floor((rx+dj-1)/2)]
+# and floor((p+d-1)/2) only takes two values per parity, so taps that land
+# on the same source pixel fold by summing their weights (row folding:
+# p=0 -> {w0 | w1+w2}, p=1 -> {w0+w1 | w2}; columns identical). This cuts
+# conv FLOPs 2.25x (16 source-size taps vs 9 at 4x the pixels) and never
+# materializes the upsampled tensor. The parity planes are written as
+# (B, 2, 2, H, W, Cout) and interleaved by one XLA transpose outside.
+# SAME-padding semantics are exact (border taps fold onto the same padded
+# zero pixel). Used by layers.Upsample (UNet up path + VAE decoder).
+# ---------------------------------------------------------------------------
+
+
+def _fold_upsample_weights(w):
+    """(3,3,Cin,Cout) -> (16,Cin,Cout): [ry,rx,ai,bi] folded 2x2 taps."""
+    sel = {0: ((0,), (1, 2)), 1: ((0, 1), (2,))}
+    planes = []
+    for ry in (0, 1):
+        for rx in (0, 1):
+            for ais in sel[ry]:
+                for bjs in sel[rx]:
+                    planes.append(sum(w[di, dj] for di in ais for dj in bjs))
+    return jnp.stack(planes)  # (16, Cin, Cout)
+
+
+def _upconv_kernel(x_ref, w_ref, b_ref, out_ref, *, H_T, W, Cin, N_T):
+    """x_ref: (1, H+2, W+2, Cin) padded SOURCE resident in VMEM.
+    w_ref: (16, Cin, N_T) folded taps. out_ref: (1, 2, 2, H_T, W, N_T)."""
+    hi = pl.program_id(2)
+    h0 = pl.multiple_of(hi * H_T, H_T)
+    bias = b_ref[0].astype(jnp.float32)
+    for ry in (0, 1):
+        for rx in (0, 1):
+            acc = None
+            for ai in (0, 1):
+                for bi in (0, 1):
+                    k = ((ry * 2 + rx) * 2 + ai) * 2 + bi
+                    slab = x_ref[0, pl.ds(h0 + ry + ai, H_T),
+                                 pl.ds(rx + bi, W), :]
+                    d = jnp.dot(slab.reshape(H_T * W, Cin), w_ref[k],
+                                preferred_element_type=jnp.float32)
+                    acc = d if acc is None else acc + d
+            y = (acc + bias[None]).reshape(H_T, W, N_T)
+            out_ref[0, ry, rx] = y.astype(out_ref.dtype)
+
+
+def _upconv_pallas(x, w, b, plan, interpret=False):
+    B, H, W, Cin = x.shape
+    Cout = w.shape[-1]
+    H_T, N_T = plan
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    w16 = _fold_upsample_weights(w)
+    b2 = (b if b is not None else jnp.zeros((Cout,), x.dtype)).reshape(1, Cout)
+    kernel = functools.partial(_upconv_kernel, H_T=H_T, W=W, Cin=Cin, N_T=N_T)
+    planes = pl.pallas_call(
+        kernel,
+        grid=(B, Cout // N_T, H // H_T),
+        in_specs=[
+            pl.BlockSpec((1, H + 2, W + 2, Cin),
+                         lambda bb, n, h: (bb, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, Cin, N_T), lambda bb, n, h: (0, 0, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_T), lambda bb, n, h: (0, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, 2, H_T, W, N_T),
+                               lambda bb, n, h: (bb, 0, 0, h, 0, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 2, 2, H, W, Cout), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * W * Cin * Cout * 16,
+            bytes_accessed=(xp.size + w16.size + 4 * B * H * W * Cout)
+            * x.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(xp, w16, b2)
+    # (B,2,2,H,W,C) -> (B,H,2,W,2,C) -> (B,2H,2W,C): one XLA transpose
+    out = jnp.transpose(planes, (0, 3, 1, 4, 2, 5))
+    return out.reshape(B, 2 * H, 2 * W, Cout)
+
+
+def _upconv_reference(x, w, b):
+    up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    return _lax_conv3x3(up, w, b)
+
+
+def _upconv_plan(x_shape, w_shape):
+    plan = pallas_plan(x_shape, w_shape)
+    if plan is None:
+        return None
+    ht, nt = plan
+    Cin, Cout = w_shape[2], w_shape[3]
+    # 16 folded taps (vs 9): shrink the cout tile until the weight block fits
+    while 16 * Cin * nt * 2 > 6 * 1024 * 1024:
+        smaller = [c for c in (512, 384, 256, 128) if c < nt and Cout % c == 0]
+        if not smaller:
+            return None
+        nt = smaller[0]
+    # the output block holds all four parity planes (4x a plain conv tile):
+    # shrink the row tile until it stays modest
+    H = x_shape[1]
+    W = x_shape[2]
+    while 4 * ht * W * nt * 2 * 2 > 4 * 1024 * 1024 and ht > 8 and ht % 2 == 0             and H % (ht // 2) == 0:
+        ht //= 2
+    return ht, nt
+
+
+def _upconv_dispatch(x, w, b, force):
+    if force == "xla":
+        return _upconv_reference(x, w, b)
+    plan = _upconv_plan(x.shape, w.shape)
+    backend = jax.default_backend()
+    if force == "pallas":
+        if plan is None:
+            raise ValueError(
+                f"pallas upsample-conv unsupported for {x.shape} x {w.shape}")
+        return _upconv_pallas(x, w, b, plan, interpret=(backend != "tpu"))
+    if plan is not None and backend == "tpu":
+        return _upconv_pallas(x, w, b, plan)
+    return _upconv_reference(x, w, b)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def upsample2x_conv3x3(x, w, b, force="auto"):
+    """nearest-2x upsample fused with a 3x3 SAME conv (NHWC)."""
+    return _upconv_dispatch(x, w, b, force)
+
+
+def _upconv_fwd(x, w, b, force):
+    return _upconv_dispatch(x, w, b, force), (x, w, b)
+
+
+def _upconv_bwd(force, res, g):
+    x, w, b = res
+    _, vjp = jax.vjp(_upconv_reference, x, w, b)
+    return vjp(g)
+
+
+upsample2x_conv3x3.defvjp(_upconv_fwd, _upconv_bwd)

@@ -168,3 +168,44 @@ def test_spatial_moments_pallas_matches_reference():
     g = jax.grad(lambda x_: jnp.sum(spatial_moments(x_, "pallas")[1]))(x)
     np.testing.assert_allclose(np.asarray(g), np.asarray(2.0 * x),
                                rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [
+    (2, 8, 8, 32, 128),
+    (3, 4, 12, 16, 256),
+])
+def test_upsample_conv_matches_reference(shape):
+    from diffusiontexturepainting_tpu.ops.conv3x3 import upsample2x_conv3x3
+
+    B, H, W, Cin, Cout = shape
+    x = _rand((B, H, W, Cin), 0)
+    w = _rand((3, 3, Cin, Cout), 1) * 0.1
+    b = _rand((Cout,), 2) * 0.1
+    up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    ref = conv3x3(up, w, b, "xla")
+    out_xla = upsample2x_conv3x3(x, w, b, "xla")
+    np.testing.assert_allclose(np.asarray(out_xla), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+    out_pl = upsample2x_conv3x3(x, w, b, "pallas")  # interpret on CPU
+    assert out_pl.shape == (B, 2 * H, 2 * W, Cout)
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_upsample_conv_grads():
+    from diffusiontexturepainting_tpu.ops.conv3x3 import upsample2x_conv3x3
+
+    x = _rand((1, 8, 8, 16), 0)
+    w = _rand((3, 3, 16, 128), 1) * 0.1
+    b = _rand((128,), 2) * 0.1
+    t = _rand((1, 16, 16, 128), 3)
+
+    def loss(force):
+        return lambda x_, w_, b_: jnp.mean(
+            (upsample2x_conv3x3(x_, w_, b_, force) - t) ** 2)
+
+    g0 = jax.grad(loss("xla"), argnums=(0, 1, 2))(x, w, b)
+    g1 = jax.grad(loss("pallas"), argnums=(0, 1, 2))(x, w, b)
+    for a, r in zip(g1, g0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=1e-4, rtol=1e-3)
