@@ -53,7 +53,11 @@ class InpaintHTTPHandler(tornado.web.RequestHandler):
 
 
 def create_server(model=None, resolution: int = 256, debug_dir: str | None = None,
-                  mock: bool = False, warmup: bool = True):
+                  mock: bool = False, warmup: bool = True,
+                  checkpoint_dir: str | None = None,
+                  scheduler: str | None = None,
+                  deep_cache_interval: int | None = None,
+                  warmup_points=None):
     """Create the Tornado application around an inpainter model."""
     if model is None:
         if mock:
@@ -62,10 +66,20 @@ def create_server(model=None, resolution: int = 256, debug_dir: str | None = Non
             model = MockConditionalInpainter(resolution)
             model_info = "mock"
         else:
+            from ..core.config import PipelineConfig
             from ..pipeline.tpu_model import TPUConditionalInpainter
 
-            model = TPUConditionalInpainter(resolution, warmup=warmup)
-            model_info = "tpu-sd15-inpaint"
+            cfg_kwargs = {}
+            if scheduler:
+                cfg_kwargs["scheduler"] = scheduler
+            if deep_cache_interval is not None:
+                cfg_kwargs["deep_cache_interval"] = deep_cache_interval
+            model = TPUConditionalInpainter(
+                resolution, warmup=warmup, checkpoint_dir=checkpoint_dir,
+                config=PipelineConfig(**cfg_kwargs) if cfg_kwargs else None,
+                warmup_points=warmup_points)
+            model_info = ("tpu-sd15-inpaint"
+                          + ("" if checkpoint_dir else " (random weights)"))
     else:
         model_info = type(model).__name__
 
@@ -89,11 +103,34 @@ def run_main(argv=None):
     parser.add_argument("--debug_dir", type=str, default=None)
     parser.add_argument("--no-warmup", action="store_true",
                         help="skip ahead-of-time compilation of operating points")
+    parser.add_argument("--checkpoint_dir", type=str, default=None,
+                        help="trained weights exported by training/train.py "
+                             "(seeded random weights when omitted)")
+    parser.add_argument("--scheduler", type=str, default=None,
+                        choices=[None, "DDIM", "DPM", "DPM++", "EulerA",
+                                 "LMS", "LMSD", "PNDM"],
+                        help="sampler (default: pipeline config, DDIM)")
+    parser.add_argument("--deep-cache-interval", type=int, default=None,
+                        help=">1 enables DeepCache-style UNet feature reuse "
+                             "for multi-step requests")
+    parser.add_argument("--warmup-points", type=str, default=None,
+                        help="comma list of RESOLUTIONxSTEPS operating points "
+                             "to compile at startup, e.g. '256x20,512x4' "
+                             "(the analog of TRT optimization profiles)")
     args = parser.parse_args(argv)
+
+    warmup_points = None
+    if args.warmup_points:
+        warmup_points = [tuple(int(v) for v in p.split("x"))
+                         for p in args.warmup_points.split(",")]
 
     logging.basicConfig(level=logging.INFO)
     app = create_server(resolution=args.resolution, debug_dir=args.debug_dir,
-                        mock=args.mock, warmup=not args.no_warmup)
+                        mock=args.mock, warmup=not args.no_warmup,
+                        checkpoint_dir=args.checkpoint_dir,
+                        scheduler=args.scheduler,
+                        deep_cache_interval=args.deep_cache_interval,
+                        warmup_points=warmup_points)
     app.listen(args.port)
     logger.info("Serving on ws://0.0.0.0:%d/websocket/", args.port)
     tornado.ioloop.IOLoop.current().start()
