@@ -12,7 +12,7 @@ LayerNorm, GEGLU, and attention all fuse under XLA without plugins.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -23,8 +23,6 @@ TPU-first notes:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -54,7 +52,6 @@ class UNet2DCondition(nn.Module):
         self.conv_in = conv(cfg.block_out_channels[0])
 
         heads = cfg.num_attention_heads
-        down_resnets, down_attns, down_samples = [], [], []
         for i, ch in enumerate(cfg.block_out_channels):
             for j in range(cfg.layers_per_block):
                 setattr(self, f"down_{i}_resnet_{j}",

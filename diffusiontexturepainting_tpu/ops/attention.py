@@ -14,8 +14,6 @@ tools/bench_attention.py.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

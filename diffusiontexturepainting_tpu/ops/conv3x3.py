@@ -24,8 +24,6 @@ large batch, where XLA's conv is fine; serving never differentiates).
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -175,7 +173,9 @@ def _dispatch(x, w, b, force):
             raise ValueError(
                 f"pallas conv3x3 does not support {x.shape} x {w.shape}")
         return _conv3x3_pallas(x, w, b, plan, interpret=(backend != "tpu"))
-    # auto: pallas on TPU when supported, XLA otherwise
+    # auto: pallas on TPU when supported, XLA otherwise. The streaming
+    # variant (_conv3x3_stream) is deliberately NOT auto-dispatched: see
+    # its STATUS note.
     if plan is not None and backend == "tpu":
         return _conv3x3_pallas(x, w, b, plan)
     return _lax_conv3x3(x, w, b)
@@ -628,3 +628,101 @@ def _upconv_bwd(force, res, g):
 
 
 upsample2x_conv3x3.defvjp(_upconv_fwd, _upconv_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Streaming variant: large-spatial images whose padded activation does not
+# fit VMEM (the VAE's 128-512 px levels). The input stays in HBM; each grid
+# step DMAs its (H_T+2) row window (with halo) into a VMEM scratch and runs
+# the same 9 MXU taps.
+#
+# STATUS: experimental, NOT auto-dispatched. The kernel itself is ~2x
+# faster than XLA's conv at these shapes (0.5 ms vs 2.5 ms at 2x128x128x512
+# -> 512), but end-to-end the VAE regressed 56 -> 66 ms: XLA's conv
+# "fusions" were co-computing the f32 GroupNorm preparation of the next
+# layer, which becomes a standalone transposed materialization once the
+# conv moves into pallas. Needs a GN-stats epilogue inside this kernel
+# (sum/sumsq of the output tile accumulated across grid steps) to win.
+# ---------------------------------------------------------------------------
+
+
+def streaming_plan(x_shape, w_shape):
+    """(H_T, N_T) for the streaming kernel, else None."""
+    if len(x_shape) != 4 or len(w_shape) != 4:
+        return None
+    B, H, W, Cin = x_shape
+    kh, kw, wcin, Cout = w_shape
+    if (kh, kw) != (3, 3) or wcin != Cin:
+        return None
+    if H < 8 or W < 2 or Cin < 16 or Cout < 128:
+        return None
+    nts = ([Cout] if Cout <= 512 else []) + [
+        nt for nt in (512, 384, 256, 128) if Cout % nt == 0]
+    nt = next((n for n in nts if 9 * Cin * n * 2 <= 6 * 1024 * 1024), None)
+    if nt is None:
+        return None
+    for ht in (32, 16, 8):
+        if H % ht == 0 and (ht + 2) * (W + 2) * Cin * 2 <= 4 * 1024 * 1024 \
+                and ht * W * nt * 4 <= 4 * 1024 * 1024:
+            return ht, nt
+    return None
+
+
+def _conv_stream_kernel(x_hbm, w_ref, b_ref, out_ref, xwin, sem,
+                        *, H_T, W, Cin, N_T):
+    bb = pl.program_id(0)
+    hi = pl.program_id(2)
+    row0 = pl.multiple_of(hi * H_T, H_T)
+    copy = pltpu.make_async_copy(
+        x_hbm.at[bb, pl.ds(row0, H_T + 2)], xwin, sem)
+    copy.start()
+    copy.wait()
+    bias = b_ref[0].astype(jnp.float32)
+    acc = None
+    for k in range(9):
+        di, dj = divmod(k, 3)
+        slab = xwin[pl.ds(di, H_T), pl.ds(dj, W), :]
+        d = jnp.dot(slab.reshape(H_T * W, Cin), w_ref[k],
+                    preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
+    y = acc + bias[None]
+    out_ref[0] = y.reshape(H_T, W, N_T).astype(out_ref.dtype)
+
+
+def _conv3x3_stream(x, w, b, plan, interpret=False):
+    B, H, W, Cin = x.shape
+    Cout = w.shape[-1]
+    H_T, N_T = plan
+    # right-pad the width so the DMA'd window's sublane dim (W+2) is
+    # 8-aligned (Mosaic requires tiled-dim slices aligned to the tiling)
+    wpad = (-(W + 2)) % 8
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + wpad), (0, 0)))
+    w9 = w.reshape(9, Cin, Cout)
+    b2 = (b if b is not None else jnp.zeros((Cout,), x.dtype)).reshape(1, Cout)
+    kernel = functools.partial(_conv_stream_kernel, H_T=H_T, W=W, Cin=Cin,
+                               N_T=N_T)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, Cout // N_T, H // H_T),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM, DMA'd
+            pl.BlockSpec((9, Cin, N_T), lambda bb, n, h: (0, 0, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_T), lambda bb, n, h: (0, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H_T, W, N_T),
+                               lambda bb, n, h: (bb, h, 0, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((H_T + 2, W + 2 + wpad, Cin), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * W * Cin * Cout * 9,
+            bytes_accessed=(xp.size * (1 + 2 // max(H_T, 1)) + w9.size
+                            + B * H * W * Cout) * x.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(xp, w9, b2)

@@ -17,7 +17,6 @@ Head dim is zero-padded to the 128-lane boundary (SD-1.5 uses head dims
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ Conventions (self-consistent across render and backprojection):
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -10,12 +10,8 @@ arrays (so mixed cfg/tg/pad values in one batch never recompile).
 
 from __future__ import annotations
 
-import functools
-from typing import Sequence
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..pipeline.inpaint import StampModels, make_stamp_fn

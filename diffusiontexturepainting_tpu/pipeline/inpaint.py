@@ -24,15 +24,13 @@ optimization profiles (models.py:886-890).
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from ..core.config import PipelineConfig
+
 from ..ops.morphology import add_extra_context
 from ..ops.resize import nearest_downsample
 from ..schedulers import make_scheduler

@@ -10,7 +10,6 @@ replaced by a jitted brush-encoding program (resolving the reference's
 from __future__ import annotations
 
 import logging
-import time
 
 import jax
 import jax.numpy as jnp

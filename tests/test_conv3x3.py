@@ -209,3 +209,20 @@ def test_upsample_conv_grads():
     for a, r in zip(g1, g0):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    atol=1e-4, rtol=1e-3)
+
+
+def test_streaming_conv_matches_xla():
+    from diffusiontexturepainting_tpu.ops.conv3x3 import (
+        _conv3x3_stream, streaming_plan)
+
+    # big shapes get a streaming plan (the VAE encoder levels)
+    assert streaming_plan((2, 128, 128, 512), (3, 3, 512, 512)) is not None
+    assert streaming_plan((1, 512, 512, 128), (3, 3, 128, 128)) is not None
+
+    x = _rand((1, 16, 8, 16), 0)
+    w = _rand((3, 3, 16, 128), 1) * 0.1
+    b = _rand((128,), 2)
+    ref = conv3x3(x, w, b, "xla")
+    out = _conv3x3_stream(x, w, b, (8, 128), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
