@@ -20,6 +20,8 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup-iters", type=int, default=5)
     ap.add_argument("--tiny", action="store_true", help="tiny model (CI smoke)")
+    ap.add_argument("--deep-cache-interval", type=int, default=1,
+                    help=">1 enables DeepCache UNet feature reuse")
     args = ap.parse_args()
 
     import numpy as np
@@ -33,12 +35,17 @@ def main():
     from diffusiontexturepainting_tpu.utils.profiling import percentile_stats
 
     t0 = time.time()
+    from diffusiontexturepainting_tpu.core.config import PipelineConfig
+
+    config = (PipelineConfig(deep_cache_interval=args.deep_cache_interval)
+              if args.deep_cache_interval > 1 else None)
     model = TPUConditionalInpainter(
         resolution=args.resolution,
         tiny=args.tiny,
         warmup=True,
         warmup_points=[(args.resolution, args.steps)],
         verbose_timing=False,
+        config=config,
     )
     print(f"model ready in {time.time() - t0:.1f}s", file=sys.stderr)
 
@@ -71,7 +78,10 @@ def main():
     target_ms = 100.0  # BASELINE.json north-star: <100 ms p50
     print(json.dumps({
         "metric": f"p50 ms per {args.resolution}x{args.resolution} stamp "
-                  f"({args.steps}-step DDIM, CFG triple-batch, "
+                  f"({args.steps}-step DDIM"
+                  + (f"+DeepCache/{args.deep_cache_interval}"
+                     if args.deep_cache_interval > 1 else "")
+                  + f", CFG triple-batch, "
                   f"p99={stats['p99']:.1f}ms, {stamps_per_sec:.2f} stamps/s/chip)",
         "value": round(stats["p50"], 2),
         "unit": "ms",

@@ -705,7 +705,7 @@ def _conv3x3_stream(x, w, b, plan, interpret=False):
         kernel,
         grid=(B, Cout // N_T, H // H_T),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM, DMA'd
+            pl.BlockSpec(memory_space=pl.ANY),  # stays in HBM, DMA'd
             pl.BlockSpec((9, Cin, N_T), lambda bb, n, h: (0, 0, n),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N_T), lambda bb, n, h: (0, n),

@@ -8,6 +8,8 @@ multi-stroke session") at test scale.
 
 import threading
 
+import jax
+
 import numpy as np
 import pytest
 import tornado.httpserver
@@ -80,3 +82,34 @@ def test_multi_stroke_session(tpu_server):
     out2 = client.generate(canvas2, **settings)
     np.testing.assert_allclose(out2[:, :32], canvas2[:, :32, :3], atol=2 / 255)
     client.close()
+
+
+def test_reload_params_hot_swap(tmp_path):
+    """Weight hot-swap (the TRT refit analog) keeps compiled programs and
+    changes outputs; params stay in the serving dtype."""
+    import jax.numpy as jnp
+
+    from diffusiontexturepainting_tpu.pipeline.tpu_model import (
+        TPUConditionalInpainter)
+
+    model = TPUConditionalInpainter(resolution=64, tiny=True, warmup=False,
+                                    verbose_timing=False, seed=1)
+    canvas = np.zeros((64, 64, 4), np.float32)
+    canvas[:16, :, 3] = 1.0
+    model._request_counter = 7
+    before = model.generate_raw(canvas, steps=2)
+    n_programs = len(model.engine._stamp)
+
+    perturbed = jax.tree_util.tree_map(
+        lambda a: a * 1.05 if jnp.issubdtype(a.dtype, jnp.floating) else a,
+        model.params)
+    model.params = model._cast_params_for_serving(perturbed)
+    model.set_brush(model.image)
+    model._request_counter = 7
+    after = model.generate_raw(canvas, steps=2)
+    assert len(model.engine._stamp) == n_programs  # no recompilation
+    assert np.abs(before - after).max() > 1e-3  # weights actually swapped
+    # serving dtype preserved through the cast helper
+    leaf = jax.tree_util.tree_leaves(model.params)[0]
+    expected = jnp.bfloat16 if model.dtype == jnp.bfloat16 else leaf.dtype
+    assert leaf.dtype == expected
