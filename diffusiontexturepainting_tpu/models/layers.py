@@ -102,6 +102,24 @@ class _ScaleBias(nn.Module):
         return scale, bias
 
 
+class _ProjParams(nn.Module):
+    """Declares nn.Dense-shaped params (kernel (din, dout), bias (dout,))
+    without computing, so callers can fuse several projections into one
+    matmul while keeping the checkpoint tree identical to nn.Dense."""
+
+    din: int
+    dout: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.din, self.dout), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros, (self.dout,),
+                           jnp.float32) if self.use_bias else None)
+        return kernel, bias
+
+
 class LayerNorm32(nn.Module):
     eps: float = 1e-5
 
@@ -133,14 +151,34 @@ class Attention(nn.Module):
     def __call__(self, x, context=None):
         inner = self.num_heads * self.head_dim
         ctx = x if context is None else context
-        dense = lambda name, feats, bias: nn.Dense(
-            feats, use_bias=bias, dtype=self.dtype, param_dtype=jnp.float32,
-            name=name)
-        q = dense("to_q", inner, self.qkv_bias)(x)
-        k = dense("to_k", inner, self.qkv_bias)(ctx)
-        v = dense("to_v", inner, self.qkv_bias)(ctx)
+        # Param tree matches nn.Dense (to_q/kernel etc.) but the q/k/v
+        # projections run as ONE matmul on the concatenated weights when
+        # they share an input (self-attention), or q + fused kv
+        # (cross-attention): same math column-for-column, fewer/larger
+        # MXU calls than three separate gemms.
+        proj = lambda name, din, dout, bias: _ProjParams(
+            din, dout, bias, name=name)()
+        wq, bq = proj("to_q", x.shape[-1], inner, self.qkv_bias)
+        wk, bk = proj("to_k", ctx.shape[-1], inner, self.qkv_bias)
+        wv, bv = proj("to_v", ctx.shape[-1], inner, self.qkv_bias)
+
+        def matmul(inp, w, b):
+            y = jnp.dot(inp.astype(self.dtype), w.astype(self.dtype))
+            return y if b is None else y + b.astype(y.dtype)
+
+        cat = lambda *ws: jnp.concatenate(ws, axis=-1)
+        if context is None:
+            qkv = matmul(x, cat(wq, wk, wv),
+                         cat(bq, bk, bv) if self.qkv_bias else None)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = matmul(x, wq, bq)
+            kv = matmul(ctx, cat(wk, wv),
+                        cat(bk, bv) if self.qkv_bias else None)
+            k, v = jnp.split(kv, 2, axis=-1)
         out = attention(q, k, v, self.num_heads)
-        return dense("to_out", x.shape[-1], self.out_bias)(out)
+        return nn.Dense(x.shape[-1], use_bias=self.out_bias, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="to_out")(out)
 
 
 class GEGLU(nn.Module):

@@ -84,6 +84,139 @@ def latent_mode(moments):
     return mean
 
 
+# ---------------------------------------------------------------------------
+# Fused execution path (serving): the same parameter tree executed as a
+# chain of streaming GroupNorm-prologue / stats-epilogue conv kernels
+# (ops/gn_conv_stream.py). GroupNorm statistics never require their own
+# pass over a big tensor: every conv emits the (sum, sumsq) of its output
+# and the next layer's norm is folded into a per-(B, C) affine. This is
+# the TPU equivalent of what the reference gets from TensorRT fusing its
+# GroupNorm plugin into the conv chain (reference models.py:250-302).
+# ---------------------------------------------------------------------------
+
+
+def _conv(x, p, dtype, strides=(1, 1), padding="SAME"):
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), p["kernel"].astype(dtype), strides, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return (y + p["bias"].astype(jnp.float32)).astype(dtype)
+
+
+def _dense1x1(x, p, dtype):
+    y = jnp.einsum("bhwc,cd->bhwd", x.astype(dtype),
+                   p["kernel"][0, 0].astype(dtype),
+                   preferred_element_type=jnp.float32)
+    return (y + p["bias"].astype(jnp.float32)).astype(dtype)
+
+
+def _fused_resnet(p, h, stats, num_groups, dtype, eps=1e-5):
+    """One ResnetBlock (no temb) as two fused kernels; returns
+    (out, out_stats)."""
+    from ..ops.gn_conv_stream import gn_affine_from_stats, gn_conv_stream
+
+    n_spatial = h.shape[1] * h.shape[2]
+    a1, c1 = gn_affine_from_stats(stats, p["norm1"]["norm"]["scale"],
+                                  p["norm1"]["norm"]["bias"], num_groups,
+                                  n_spatial, eps)
+    k1 = p["conv1"]["kernel"].astype(dtype)
+    h1, s1 = gn_conv_stream(h, a1, c1, k1, p["conv1"]["bias"].astype(dtype),
+                            None, True)
+    a2, c2 = gn_affine_from_stats(s1, p["norm2"]["norm"]["scale"],
+                                  p["norm2"]["norm"]["bias"], num_groups,
+                                  n_spatial, eps)
+    residual = (_dense1x1(h, p["conv_shortcut"], dtype)
+                if "conv_shortcut" in p else h)
+    k2 = p["conv2"]["kernel"].astype(dtype)
+    return gn_conv_stream(h1, a2, c2, k2, p["conv2"]["bias"].astype(dtype),
+                          residual, True)
+
+
+def _fused_mid(p, h, stats, num_groups, dtype):
+    from ..ops.gn_conv_stream import gn_affine_from_stats, stats_of
+
+    h, stats = _fused_resnet(p["resnet_0"], h, stats, num_groups, dtype)
+    b, hh, ww, c = h.shape
+    a, cc = gn_affine_from_stats(stats, p["attn_norm"]["norm"]["scale"],
+                                 p["attn_norm"]["norm"]["bias"], num_groups,
+                                 hh * ww, eps=1e-6)
+    hn = (h.astype(jnp.float32) * a[:, None, None, :]
+          + cc[:, None, None, :]).astype(dtype)
+    attn = Attention(num_heads=1, head_dim=c, qkv_bias=True, dtype=dtype,
+                     name=None)
+    out = attn.apply({"params": p["attn"]}, hn.reshape(b, hh * ww, c))
+    h = h + out.reshape(b, hh, ww, c).astype(h.dtype)
+    h, stats = _fused_resnet(p["resnet_1"], h, stats_of(h), num_groups, dtype)
+    return h, stats
+
+
+def _fused_norm_silu_conv(p_norm, p_conv, h, stats, num_groups, dtype,
+                          eps=1e-6):
+    """conv_norm_out -> SiLU -> conv_out head (small Cout: the kernel
+    dispatcher falls back to the XLA reference, which is fine here)."""
+    from ..ops.gn_conv_stream import gn_affine_from_stats, gn_conv_stream
+
+    a, c = gn_affine_from_stats(stats, p_norm["norm"]["scale"],
+                                p_norm["norm"]["bias"], num_groups,
+                                h.shape[1] * h.shape[2], eps)
+    out, _ = gn_conv_stream(h, a, c, p_conv["kernel"].astype(dtype),
+                            p_conv["bias"].astype(dtype), None, False)
+    return out
+
+
+def fused_encode(params, images, cfg: VAEConfig = VAEConfig(),
+                 dtype=jnp.bfloat16):
+    """Fused-kernel equivalent of VAEEncoder.apply (same params/output)."""
+    from ..ops.gn_conv_stream import stats_of
+
+    p = params
+    g = cfg.norm_num_groups
+    h = _conv(images, p["conv_in"], dtype)
+    stats = stats_of(h)
+    for i, ch in enumerate(cfg.block_out_channels):
+        for j in range(cfg.layers_per_block):
+            h, stats = _fused_resnet(p[f"down_{i}_resnet_{j}"], h, stats, g,
+                                     dtype)
+        if i < len(cfg.block_out_channels) - 1:
+            hp = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            h = _conv(hp, p[f"down_{i}_downsample"]["conv"], dtype,
+                      strides=(2, 2), padding="VALID")
+            stats = stats_of(h)
+    h, stats = _fused_mid(p["mid"], h, stats, g, dtype)
+    h = _fused_norm_silu_conv(p["conv_norm_out"], p["conv_out"], h, stats, g,
+                              dtype)
+    h = _dense1x1(h, p["quant_conv"], dtype)
+    return h.astype(jnp.float32)
+
+
+def fused_decode(params, latents, cfg: VAEConfig = VAEConfig(),
+                 dtype=jnp.bfloat16):
+    """Fused-kernel equivalent of VAEDecoder.apply (same params/output)."""
+    from ..ops.conv3x3 import upsample2x_conv3x3
+    from ..ops.gn_conv_stream import stats_of
+
+    p = params
+    g = cfg.norm_num_groups
+    z = _dense1x1(latents, p["post_quant_conv"], dtype)
+    h = _conv(z, p["conv_in"], dtype)
+    stats = stats_of(h)
+    h, stats = _fused_mid(p["mid"], h, stats, g, dtype)
+    rev = tuple(reversed(cfg.block_out_channels))
+    for i in range(len(rev)):
+        for j in range(cfg.layers_per_block + 1):
+            h, stats = _fused_resnet(p[f"up_{i}_resnet_{j}"], h, stats, g,
+                                     dtype)
+        if i < len(rev) - 1:
+            up = p[f"up_{i}_upsample"]["conv"]
+            h = upsample2x_conv3x3(h.astype(dtype),
+                                   up["kernel"].astype(dtype),
+                                   up["bias"].astype(dtype))
+            stats = stats_of(h)
+    h = _fused_norm_silu_conv(p["conv_norm_out"], p["conv_out"], h, stats, g,
+                              dtype)
+    return h.astype(jnp.float32)
+
+
 class VAEDecoder(nn.Module):
     """latents (B,h,w,4) (already /scaling) -> images (B,8h,8w,3) in [-1,1]."""
 

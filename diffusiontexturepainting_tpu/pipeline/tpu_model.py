@@ -73,10 +73,19 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
 
         from ..models.unet import UNet2DCondition as _U
 
+        if self.config.fused_vae:
+            from ..models.vae import fused_decode, fused_encode
+
+            vae_enc = lambda p, x: fused_encode(p, x, vcfg, self.dtype)
+            vae_dec = lambda p, z: fused_decode(p, z, vcfg, self.dtype)
+        else:
+            vae_enc = lambda p, x: self.vae_encoder.apply({"params": p}, x)
+            vae_dec = lambda p, z: self.vae_decoder.apply({"params": p}, z)
+
         models = StampModels(
             unet_apply=lambda p, s, t, c: self.unet.apply({"params": p}, s, t, c),
-            vae_encode_apply=lambda p, x: self.vae_encoder.apply({"params": p}, x),
-            vae_decode_apply=lambda p, z: self.vae_decoder.apply({"params": p}, z),
+            vae_encode_apply=vae_enc,
+            vae_decode_apply=vae_dec,
             params=None,  # params are passed per-call
             vae_scaling=vcfg.scaling_factor,
             unet_full_apply=lambda p, s, t, c: self.unet.apply(

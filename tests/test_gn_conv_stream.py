@@ -1,0 +1,123 @@
+"""Streaming fused GN->SiLU->conv kernel: parity, stats chaining, and the
+fused VAE execution path vs the Flax modules."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from diffusiontexturepainting_tpu.ops.gn_conv_stream import (
+    gn_affine_from_stats,
+    gn_conv_stream,
+    shift_stats_for_temb,
+    stats_of,
+    stream_fused_plan,
+)
+
+
+def _rand(shape, seed, scale=1.0):
+    return jnp.asarray(
+        np.random.default_rng(seed).standard_normal(shape) * scale,
+        jnp.float32)
+
+
+@pytest.mark.parametrize("res,stats", [(False, True), (True, True),
+                                       (False, False), (True, False)])
+def test_kernel_matches_reference(res, stats):
+    B, H, W, Cin, Cout = 2, 16, 16, 128, 128
+    x = _rand((B, H, W, Cin), 0)
+    a = _rand((B, Cin), 1, 0.2) + 1.0
+    c = _rand((B, Cin), 2, 0.2)
+    w = _rand((3, 3, Cin, Cout), 3, 0.05)
+    b = _rand((Cout,), 4)
+    r = _rand((B, H, W, Cout), 5) if res else None
+    assert stream_fused_plan(x.shape, w.shape, 4) is not None
+    ref_out, ref_st = gn_conv_stream(x, a, c, w, b, r, stats, True, "xla")
+    out, st = gn_conv_stream(x, a, c, w, b, r, stats, True, "pallas")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=1e-3, rtol=1e-3)
+    if stats:
+        np.testing.assert_allclose(np.asarray(st[:, :2]),
+                                   np.asarray(ref_st[:, :2]),
+                                   atol=1e-2, rtol=1e-3)
+    else:
+        assert st is None and ref_st is None
+
+
+def test_kernel_no_gn_prologue():
+    """apply_gn=False: plain conv + stats epilogue."""
+    B, H, W, C = 1, 16, 16, 128
+    x = _rand((B, H, W, C), 0)
+    w = _rand((3, 3, C, C), 1, 0.05)
+    b = _rand((C,), 2)
+    ref, ref_st = gn_conv_stream(x, None, None, w, b, None, True, False, "xla")
+    out, st = gn_conv_stream(x, None, None, w, b, None, True, False, "pallas")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(st[:, :2]), np.asarray(ref_st[:, :2]),
+                               atol=1e-2, rtol=1e-3)
+
+
+def test_affine_from_stats_matches_groupnorm():
+    """x*a + c with (a, c) from chained stats == GroupNorm32(x)*scale+bias."""
+    from diffusiontexturepainting_tpu.models.layers import GroupNorm32
+
+    B, H, W, C, G = 2, 8, 8, 64, 8
+    x = _rand((B, H, W, C), 0)
+    gn = GroupNorm32(G)
+    params = gn.init(jax.random.PRNGKey(0), x)["params"]
+    scale = params["norm"]["scale"] + 0.3
+    bias = params["norm"]["bias"] - 0.1
+    params = {"norm": {"scale": scale, "bias": bias}}
+    ref = gn.apply({"params": params}, x)
+    a, c = gn_affine_from_stats(stats_of(x), scale, bias, G, H * W)
+    out = x * a[:, None, None, :] + c[:, None, None, :]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_temb_stats_shift():
+    B, H, W, C = 2, 8, 8, 32
+    h = _rand((B, H, W, C), 0)
+    t = _rand((B, C), 1)
+    shifted = shift_stats_for_temb(stats_of(h), t, H * W)
+    direct = stats_of(h + t[:, None, None, :])
+    np.testing.assert_allclose(np.asarray(shifted[:, :2]),
+                               np.asarray(direct[:, :2]),
+                               atol=1e-2, rtol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def vae_setup():
+    from diffusiontexturepainting_tpu.core.config import VAEConfig
+    from diffusiontexturepainting_tpu.models.vae import VAEDecoder, VAEEncoder
+
+    cfg = VAEConfig()
+    enc = VAEEncoder(cfg, dtype=jnp.float32)
+    dec = VAEDecoder(cfg, dtype=jnp.float32)
+    img = _rand((1, 32, 32, 3), 0, 0.5)
+    lat = _rand((1, 4, 4, 4), 1)
+    pe = enc.init(jax.random.PRNGKey(0), img)["params"]
+    pd = dec.init(jax.random.PRNGKey(1), lat)["params"]
+    return cfg, enc, dec, img, lat, pe, pd
+
+
+def test_fused_encode_matches_module(vae_setup):
+    from diffusiontexturepainting_tpu.models.vae import fused_encode
+
+    cfg, enc, _, img, _, pe, _ = vae_setup
+    ref = enc.apply({"params": pe}, img)
+    out = fused_encode(pe, img, cfg, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_fused_decode_matches_module(vae_setup):
+    from diffusiontexturepainting_tpu.models.vae import fused_decode
+
+    cfg, _, dec, _, lat, _, pd = vae_setup
+    ref = dec.apply({"params": pd}, lat)
+    out = fused_decode(pd, lat, cfg, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
