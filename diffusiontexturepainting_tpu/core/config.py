@@ -110,8 +110,13 @@ class PipelineConfig:
     # Fused VAE execution: run encoder/decoder as chained
     # GroupNorm-prologue/stats-epilogue streaming conv kernels
     # (ops/gn_conv_stream.py) instead of the Flax modules. Identical
-    # parameters and math; ~2x faster on TPU at stamp resolutions.
-    fused_vae: bool = True
+    # parameters and math. Gated per module from chained-loop on-device
+    # measurements at 512px (v5e): encoder 30.0 vs 37.7 ms (1.26x win),
+    # decoder 38.7 vs 18.1 ms (2.1x LOSS - the stream kernel's ht=8 row
+    # tiles lose to XLA's conv at the decoder's 512^2x128 levels), so
+    # only the encoder defaults to fused.
+    fused_vae_encoder: bool = True
+    fused_vae_decoder: bool = False
 
 
 # CLIP image normalization constants (reference image_encoder.py:75-76).

@@ -202,25 +202,29 @@ def stream_fused_plan(x_shape, w_shape, itemsize: int = 2):
         return None
     if H < 8 or W < 8 or Cin < 16 or Cout < 128:
         return None
-    nts = ([Cout] if Cout <= 512 else []) + [
-        nt for nt in (512, 384, 256, 128) if Cout % nt == 0]
-    nt = next((n for n in nts
-               if 9 * Cin * n * itemsize <= 5 * 1024 * 1024), None)
-    if nt is None:
+    # Lane-aligned output tiles only: non-multiple-of-128 N_T (e.g. 320)
+    # has crashed the TPU compiler and pads poorly anyway.
+    nts = [nt for nt in (512, 384, 256, 128)
+           if Cout % nt == 0 and 9 * Cin * nt * itemsize <= 5 * 1024 * 1024]
+    if not nts:
         return None
     wpad = (-(W + 2)) % 8
     Wp = W + 2 + wpad
+    # Joint search, taller row tiles first (halo amortization beats wider
+    # output tiles: the (ht+2)/ht read amplification is the kernel's main
+    # overhead at large W).
     for ht in (64, 32, 16, 8):
         if H % ht:
             continue
         win = (ht + 2) * Wp * Cin * itemsize   # DMA window / in-place scratch
-        accb = ht * W * nt * 4                  # f32 tap accumulator
-        outb = ht * W * nt * itemsize * 2       # double-buffered out
-        resb = ht * W * nt * itemsize * 2
-        wb = 9 * Cin * nt * itemsize * 2
         tmp = 8 * Wp * Cin * (4 + 4 + itemsize)  # f32 chunk temporaries
-        if win + accb + outb + resb + wb + tmp <= 13 * 1024 * 1024:
-            return ht, nt
+        for nt in nts:
+            accb = ht * W * nt * 4                  # f32 tap accumulator
+            outb = ht * W * nt * itemsize * 2       # double-buffered out
+            resb = ht * W * nt * itemsize * 2
+            wb = 9 * Cin * nt * itemsize * 2
+            if win + accb + outb + resb + wb + tmp <= 13 * 1024 * 1024:
+                return ht, nt
     return None
 
 

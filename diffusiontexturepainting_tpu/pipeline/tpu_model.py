@@ -73,13 +73,15 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
 
         from ..models.unet import UNet2DCondition as _U
 
-        if self.config.fused_vae:
-            from ..models.vae import fused_decode, fused_encode
+        from ..models.vae import fused_decode, fused_encode
 
+        if self.config.fused_vae_encoder:
             vae_enc = lambda p, x: fused_encode(p, x, vcfg, self.dtype)
-            vae_dec = lambda p, z: fused_decode(p, z, vcfg, self.dtype)
         else:
             vae_enc = lambda p, x: self.vae_encoder.apply({"params": p}, x)
+        if self.config.fused_vae_decoder:
+            vae_dec = lambda p, z: fused_decode(p, z, vcfg, self.dtype)
+        else:
             vae_dec = lambda p, z: self.vae_decoder.apply({"params": p}, z)
 
         models = StampModels(
