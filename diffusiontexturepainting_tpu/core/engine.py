@@ -94,7 +94,7 @@ class Engine:
             cond = jnp.zeros((1,) + tuple(cond_shape), jnp.float32)
             uncond = jnp.zeros_like(cond)
             out = self.stamp_fn(res, steps, interval)(
-                params, canvas, brush, cond, uncond, rng,
+                params, canvas, brush, cond, uncond, rng, np.uint32(0),
                 np.float32(2.0), np.float32(1.0), np.int32(steps),
                 np.int32(150))
             # fetch a few bytes: on tunneled backends block_until_ready

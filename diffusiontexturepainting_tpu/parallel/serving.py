@@ -30,7 +30,7 @@ class ParallelStampEngine:
         stamp = make_stamp_fn(self.models, self.scheduler_name, steps)
         vstamp = jax.vmap(
             stamp,
-            in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+            in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
         )
         data = NamedSharding(self.mesh, P("data"))
         repl = NamedSharding(self.mesh, P())
@@ -38,7 +38,7 @@ class ParallelStampEngine:
         fn = jax.jit(
             vstamp,
             in_shardings=(repl, data, data, data, data, data, data, data,
-                          data, data),
+                          data, data, data),
             out_shardings=(data, data),
         )
         return fn
@@ -51,7 +51,7 @@ class ParallelStampEngine:
 
     def stamp_batch(self, params, canvases_u8, brushes, conds, unconds, keys,
                     cfg_weights, tg_weights, tg_steps, context_pads,
-                    steps: int):
+                    steps: int, counters=None):
         """Run a batch of B stamps across the mesh.
 
         Args (leading dim B, which must be a multiple of the data axis):
@@ -61,9 +61,15 @@ class ParallelStampEngine:
             keys: (B,) PRNG keys
             cfg_weights/tg_weights: (B,) float32
             tg_steps/context_pads: (B,) int32
+            counters: (B,) uint32 per-request fold-in counters (default 0..B-1)
         Returns (raw_u8, composited_u8), each (B, H, W, 3).
         """
+        import numpy as np
+
         res = int(canvases_u8.shape[-3])
+        B = canvases_u8.shape[0]
+        if counters is None:
+            counters = np.arange(B, dtype=np.uint32)
         fn = self.stamp_fn(res, steps)
-        return fn(params, canvases_u8, brushes, conds, unconds, keys,
+        return fn(params, canvases_u8, brushes, conds, unconds, keys, counters,
                   cfg_weights, tg_weights, tg_steps, context_pads)

@@ -66,9 +66,15 @@ def make_stamp_fn(models: StampModels, scheduler_name: str, num_steps: int,
     no dynamic control flow enters the program.
 
     Returns fn(params, canvas_u8(1,H,W,4), brush(1,H,W,3)[0..1],
-               cond(1,L,D), uncond(1,L,D), rng,
+               cond(1,L,D), uncond(1,L,D), rng, counter,
                cfg_weight, tg_weight, tg_steps, context_pad)
         -> (raw_u8(H,W,3), composited_u8(H,W,3))
+
+    `counter` is the per-request index folded into `rng` INSIDE the
+    program: the caller passes the same resident base key every time plus
+    a numpy scalar that rides along with the dispatch, instead of an
+    eager fold_in + scalar upload per request (a measurable per-request
+    cost on tunneled/remote backends).
     """
     if deep_cache_interval > 1 and (
             models.unet_full_apply is None or models.unet_shallow_apply is None):
@@ -78,8 +84,9 @@ def make_stamp_fn(models: StampModels, scheduler_name: str, num_steps: int,
     rows = {k: jnp.asarray(v) for k, v in scheduler.scan_rows().items()}
     scale = models.vae_scaling
 
-    def stamp(params, canvas_u8, brush, cond, uncond, rng,
+    def stamp(params, canvas_u8, brush, cond, uncond, rng, counter,
               cfg_weight, tg_weight, tg_steps, context_pad):
+        rng = jax.random.fold_in(rng, counter)
         canvas = canvas_u8.astype(jnp.float32) / 255.0
         images = canvas[..., :3] * 2.0 - 1.0
         mask = canvas[..., 3:4]
@@ -211,8 +218,8 @@ def make_preview_fn(models: StampModels, scheduler_name: str, num_steps: int):
     the brush image (reference handler.py:48-52, 92-101)."""
     stamp = make_stamp_fn(models, scheduler_name, num_steps)
 
-    def preview(params, brush, cond, uncond, rng, cfg_weight, tg_weight,
-                tg_steps, context_pad):
+    def preview(params, brush, cond, uncond, rng, counter, cfg_weight,
+                tg_weight, tg_steps, context_pad):
         b, res = brush.shape[0], brush.shape[1]
         center = res // 2
         yy = jnp.arange(res)[:, None] < center
@@ -220,7 +227,7 @@ def make_preview_fn(models: StampModels, scheduler_name: str, num_steps: int):
         mask = (yy & xx).astype(jnp.float32)[None, :, :, None]
         canvas = jnp.concatenate([brush * mask, mask], axis=-1)
         canvas_u8 = (jnp.clip(canvas, 0, 1) * 255).astype(jnp.uint8)
-        return stamp(params, canvas_u8, brush, cond, uncond, rng,
+        return stamp(params, canvas_u8, brush, cond, uncond, rng, counter,
                      cfg_weight, tg_weight, tg_steps, context_pad)
 
     return preview

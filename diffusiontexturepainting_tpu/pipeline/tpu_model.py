@@ -179,9 +179,14 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
             jax.block_until_ready(cond)
         self._cond, self._uncond = cond, uncond
 
-    def _next_key(self):
+    def _next_counter(self):
+        """Per-request RNG = fold_in(base_key, counter) INSIDE the stamp
+        program: the base key stays resident on device and the counter is
+        a numpy scalar riding with the dispatch, so no eager fold_in op /
+        scalar upload happens per request (tunneled backends charge tens
+        of ms for each)."""
         self._request_counter += 1
-        return jax.random.fold_in(self._base_key, self._request_counter)
+        return np.uint32(self._request_counter)
 
     def _run_stamp(self, canvas: np.ndarray, **settings):
         """Dispatch the stamp program; returns DEVICE arrays (raw, comp).
@@ -215,7 +220,8 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
         interval = self._cache_interval(steps)
         fn = self.engine.stamp_fn(res, steps, interval)
         return fn(self.params, canvas_u8[None], brush, self._cond,
-                  self._uncond, self._next_key(), cfg_w, tg_w, tg_steps, pad)
+                  self._uncond, self._base_key, self._next_counter(),
+                  cfg_w, tg_w, tg_steps, pad)
 
     def _cache_interval(self, steps: int) -> int:
         if (self.config.deep_cache_interval > 1

@@ -265,8 +265,9 @@ def _validation_grid(args, writer, step, unet, vae_enc, vae_dec, patch_enc,
                   "vae_decoder": jax.device_get(all_params["vae_decoder"])}
         brush = jnp.zeros((1,) + canvas.shape[:2] + (3,), jnp.float32)
         _, comp = stamp(params, canvas_u8, brush, cond, uncond,
-                        jax.random.PRNGKey(step), jnp.float32(2.0),
-                        jnp.float32(0.0), jnp.int32(0), jnp.int32(150))
+                        jax.random.PRNGKey(step), jnp.uint32(0),
+                        jnp.float32(2.0), jnp.float32(0.0), jnp.int32(0),
+                        jnp.int32(150))
         if writer:
             grid = np.concatenate(
                 [canvas_u8[0, ..., :3],

@@ -104,8 +104,8 @@ def test_preview_program(model):
     brush = jnp.asarray(np.random.default_rng(2).random((1, 64, 64, 3)),
                         jnp.float32)
     raw, comp = fn(model.params, brush, model._cond, model._uncond,
-                   jax.random.PRNGKey(0), jnp.float32(2.0), jnp.float32(1.0),
-                   jnp.int32(2), jnp.int32(20))
+                   jax.random.PRNGKey(0), jnp.uint32(0), jnp.float32(2.0),
+                   jnp.float32(1.0), jnp.int32(2), jnp.int32(20))
     raw, comp = np.asarray(raw), np.asarray(comp)
     assert raw.shape == (64, 64, 3) and comp.shape == (64, 64, 3)
     # known quadrant must equal the brush content in the composited output
