@@ -40,6 +40,26 @@ def timestep_embedding(timesteps, dim: int, flip_sin_to_cos: bool = True,
     return emb
 
 
+# Toggled by benchmarks; see _moment_sums.
+_VARIADIC_STATS = False
+
+
+def _moment_sums(xf, axes):
+    """(sum, sum-of-squares) over `axes` of an f32 tensor.
+
+    Negative result, kept measurable: a variadic lax.reduce computing
+    both moments in "one pass" measured 1.7x SLOWER end-to-end on v5e
+    (VAE decoder 30.6 vs 18.0 ms) than two jnp.sum calls - XLA already
+    fuses the two reduces into one multi-output fusion that reads x
+    once, while the variadic reduce lowers to a slow generic loop.
+    """
+    if _VARIADIC_STATS:
+        return jax.lax.reduce(
+            (xf, jnp.square(xf)), (jnp.float32(0), jnp.float32(0)),
+            lambda acc, v: (acc[0] + v[0], acc[1] + v[1]), axes)
+    return jnp.sum(xf, axis=axes), jnp.sum(jnp.square(xf), axis=axes)
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm: statistics in float32, normalization applied in the
     activation dtype.
@@ -76,8 +96,9 @@ class GroupNorm32(nn.Module):
         n_per_group = (c // g) * int(np.prod(x.shape[1:-1]))
         xf = x.astype(jnp.float32)
         axes = tuple(range(1, x.ndim - 1))
-        s1 = jnp.sum(xf, axis=axes) @ group_mat  # (B, g)
-        s2 = jnp.sum(jnp.square(xf), axis=axes) @ group_mat
+        s1, s2 = _moment_sums(xf, axes)
+        s1 = s1 @ group_mat  # (B, g)
+        s2 = s2 @ group_mat
         mean_g = s1 / n_per_group
         var_g = s2 / n_per_group - jnp.square(mean_g)
         inv_g = jax.lax.rsqrt(var_g + self.eps)

@@ -65,10 +65,16 @@ def attention(q, k, v, num_heads: int, scale: float | None = None,
     """
     if use_flash is None:
         head_dim = q.shape[-1] // num_heads
+        # VMEM budget: the kernel keeps the whole K/V panel resident
+        # (2 * Lk * hd_pad bf16); the q block shrinks for fat heads
+        # (the VAE mid attention is 1 head x 512 dim x 4096 tokens).
+        hd_pad = max(128, head_dim)
+        kv_bytes = 2 * k.shape[1] * hd_pad * 2
         use_flash = (
             q.shape[1] >= _FLASH_MIN_Q_LEN
             and q.shape[1] == k.shape[1]
-            and head_dim <= 128  # VMEM budget; 1-head 512-dim VAE attn -> XLA
+            and head_dim <= 512
+            and kv_bytes <= 9 * 1024 * 1024
             and jax.default_backend() == "tpu"
         )
     if use_flash:

@@ -44,7 +44,7 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale", "q_block"))
 def flash_attention(q, k, v, num_heads: int, scale: float | None = None,
-                    q_block: int = 512):
+                    q_block: int | None = None):
     """Fused attention: (B, Lq, D) x (B, Lk, D) -> (B, Lq, D).
 
     D = num_heads * head_dim; head_dim is padded to 128 internally.
@@ -52,6 +52,13 @@ def flash_attention(q, k, v, num_heads: int, scale: float | None = None,
     B, Lq, D = q.shape
     Lk = k.shape[1]
     hd = D // num_heads
+    if q_block is None:
+        q_block = 512
+    if hd > 128:
+        # fat heads (VAE mid: hd 512) shrink the q block so the resident
+        # K/V panel + f32 score block stay inside VMEM (q_block 512 at
+        # hd 512 x Lk 4096 compiles to an 18 MB scoped allocation - OOM)
+        q_block = min(q_block, 128)
     if scale is None:
         scale = hd**-0.5
 

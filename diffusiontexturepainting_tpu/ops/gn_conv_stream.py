@@ -91,6 +91,9 @@ def stats_of(x) -> jnp.ndarray:
     for layer inputs that did not come from a kernel epilogue."""
     axes = tuple(range(1, x.ndim - 1))
     xf = x.astype(jnp.float32)
+    # two jnp.sums: XLA fuses them into one multi-output reduce that reads
+    # x once (a variadic lax.reduce measured 1.7x slower; see
+    # models/layers.py _moment_sums)
     s1 = jnp.sum(xf, axis=axes)
     s2 = jnp.sum(jnp.square(xf), axis=axes)
     zeros = jnp.zeros((x.shape[0], _STATS_ROWS - 2, x.shape[-1]), jnp.float32)
