@@ -129,17 +129,96 @@ def _conv_kernel(x_ref, w_ref, b_ref, out_ref, *, H_T, W, Cin, N_T):
     out_ref[0] = y.reshape(H_T, W, N_T).astype(out_ref.dtype)
 
 
-def _conv3x3_pallas(x, w, b, plan, interpret=False):
+def _conv_kernel_inpad(x_ref, w_ref, b_ref, out_ref, xp_ref,
+                       *, H, H_T, W, Cin, N_T):
+    """Same 9-tap conv, but SAME-padding happens IN VMEM: the unpadded
+    image block is copied once per batch into a zero-bordered scratch
+    (VPU bandwidth, ~us), replacing a per-conv jnp.pad that round-trips
+    the whole tensor through HBM (~0.5 ms/UNet-step across 44 convs).
+
+    x_ref: (1, H, W, Cin) unpadded image resident in VMEM
+    xp_ref: (H+2, W+2, Cin) scratch, persistent across the sequential grid
+    """
+    ni = pl.program_id(1)
+    hi = pl.program_id(2)
+
+    @pl.when((ni == 0) & (hi == 0))
+    def _fill():
+        zrow = jnp.zeros((1, W + 2, Cin), x_ref.dtype)
+        xp_ref[0:1] = zrow
+        xp_ref[H + 1:H + 2] = zrow
+        zcol = jnp.zeros((H, 1, Cin), x_ref.dtype)
+        xp_ref[1:H + 1, 0:1] = zcol
+        xp_ref[1:H + 1, W + 1:W + 2] = zcol
+        xp_ref[1:H + 1, 1:W + 1] = x_ref[0]
+
+    row0 = pl.multiple_of(hi * H_T, H_T)
+    bias = b_ref[0].astype(jnp.float32)
+    acc = None
+    for k in range(9):
+        di, dj = k // 3, k % 3
+        slab = xp_ref[pl.ds(row0 + di, H_T), pl.ds(dj, W), :]
+        a = slab.reshape(H_T * W, Cin)
+        d = jnp.dot(a, w_ref[k], preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
+    y = acc + bias[None, :]
+    out_ref[0] = y.reshape(H_T, W, N_T).astype(out_ref.dtype)
+
+
+# In-kernel padding switch - negative result, kept measurable: replacing
+# the HBM jnp.pad before each kernel with a once-per-batch VMEM copy
+# measured DEAD EVEN on v5e (29.79 vs 29.82 ms/UNet-step, within-session
+# A/B) - XLA overlaps the pads with other work, so they are not on the
+# critical path. It also costs an extra image-sized block of VMEM
+# residency, which makes STANDALONE kernel compiles (eager/test
+# harnesses) exceed the remote compiler's 16 MB scoped limit at shapes
+# that fit fine inside larger jitted programs. Off by default.
+_IN_PAD = False
+
+
+def _conv3x3_pallas(x, w, b, plan, interpret=False, in_pad=None):
+    if in_pad is None:
+        in_pad = _IN_PAD
     B, H, W, Cin = x.shape
     Cout = w.shape[-1]
     H_T, N_T = plan
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     w9 = w.reshape(9, Cin, Cout)
     b2 = (b if b is not None else jnp.zeros((Cout,), x.dtype)).reshape(1, Cout)
-
-    kernel = functools.partial(_conv_kernel, H_T=H_T, W=W, Cin=Cin, N_T=N_T)
     flops = 2 * B * H * W * Cin * Cout * 9
-    bytes_accessed = (xp.size + w9.size + B * H * W * Cout) * x.dtype.itemsize
+    bytes_accessed = (x.size + w9.size + B * H * W * Cout) * x.dtype.itemsize
+    # in-kernel padding needs the unpadded block AND the padded scratch
+    # resident at once (vs just the padded block); fall back to the HBM
+    # jnp.pad when their sum crowds the 16 MB scoped-vmem limit (the
+    # Cin=1920 up-block concat convs OOMed at 8.37 MB here).
+    in_pad = in_pad and (
+        ((H + 2) * (W + 2) + H * W) * Cin * x.dtype.itemsize
+        <= int(7.5 * 1024 * 1024))
+    if in_pad:
+        kernel = functools.partial(_conv_kernel_inpad, H=H, H_T=H_T, W=W,
+                                   Cin=Cin, N_T=N_T)
+        return pl.pallas_call(
+            kernel,
+            grid=(B, Cout // N_T, H // H_T),
+            in_specs=[
+                pl.BlockSpec((1, H, W, Cin), lambda bb, n, h: (bb, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((9, Cin, N_T), lambda bb, n, h: (0, 0, n),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N_T), lambda bb, n, h: (0, n),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, H_T, W, N_T),
+                                   lambda bb, n, h: (bb, h, 0, n),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
+            scratch_shapes=[pltpu.VMEM((H + 2, W + 2, Cin), x.dtype)],
+            cost_estimate=pl.CostEstimate(flops=flops,
+                                          bytes_accessed=bytes_accessed,
+                                          transcendentals=0),
+            interpret=interpret,
+        )(x, w9, b2)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    kernel = functools.partial(_conv_kernel, H_T=H_T, W=W, Cin=Cin, N_T=N_T)
     return pl.pallas_call(
         kernel,
         grid=(B, Cout // N_T, H // H_T),
@@ -513,9 +592,45 @@ def _fold_upsample_weights(w):
     return jnp.stack(planes)  # (16, Cin, Cout)
 
 
-def _upconv_kernel(x_ref, w_ref, b_ref, out_ref, *, H_T, W, Cin, N_T):
-    """x_ref: (1, H+2, W+2, Cin) padded SOURCE resident in VMEM.
+def _upconv_kernel(x_ref, w_ref, b_ref, out_ref, xp_ref,
+                   *, H, H_T, W, Cin, N_T):
+    """x_ref: (1, H, W, Cin) unpadded SOURCE resident in VMEM; padded once
+    per batch into the xp_ref scratch (see _conv_kernel_inpad).
     w_ref: (16, Cin, N_T) folded taps. out_ref: (1, 2, 2, H_T, W, N_T)."""
+    ni = pl.program_id(1)
+    hi = pl.program_id(2)
+
+    @pl.when((ni == 0) & (hi == 0))
+    def _fill():
+        zrow = jnp.zeros((1, W + 2, Cin), x_ref.dtype)
+        xp_ref[0:1] = zrow
+        xp_ref[H + 1:H + 2] = zrow
+        zcol = jnp.zeros((H, 1, Cin), x_ref.dtype)
+        xp_ref[1:H + 1, 0:1] = zcol
+        xp_ref[1:H + 1, W + 1:W + 2] = zcol
+        xp_ref[1:H + 1, 1:W + 1] = x_ref[0]
+
+    h0 = pl.multiple_of(hi * H_T, H_T)
+    bias = b_ref[0].astype(jnp.float32)
+    for ry in (0, 1):
+        for rx in (0, 1):
+            acc = None
+            for ai in (0, 1):
+                for bi in (0, 1):
+                    k = ((ry * 2 + rx) * 2 + ai) * 2 + bi
+                    slab = xp_ref[pl.ds(h0 + ry + ai, H_T),
+                                  pl.ds(rx + bi, W), :]
+                    d = jnp.dot(slab.reshape(H_T * W, Cin), w_ref[k],
+                                preferred_element_type=jnp.float32)
+                    acc = d if acc is None else acc + d
+            y = (acc + bias[None]).reshape(H_T, W, N_T)
+            out_ref[0, ry, rx] = y.astype(out_ref.dtype)
+
+
+def _upconv_kernel_padded(x_ref, w_ref, b_ref, out_ref,
+                          *, H_T, W, Cin, N_T):
+    """Padded-input variant for shapes where the in-pad scratch (2x the
+    image resident) does not fit VMEM. x_ref: (1, H+2, W+2, Cin)."""
     hi = pl.program_id(2)
     h0 = pl.multiple_of(hi * H_T, H_T)
     bias = b_ref[0].astype(jnp.float32)
@@ -538,33 +653,55 @@ def _upconv_pallas(x, w, b, plan, interpret=False):
     B, H, W, Cin = x.shape
     Cout = w.shape[-1]
     H_T, N_T = plan
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     w16 = _fold_upsample_weights(w)
     b2 = (b if b is not None else jnp.zeros((Cout,), x.dtype)).reshape(1, Cout)
-    kernel = functools.partial(_upconv_kernel, H_T=H_T, W=W, Cin=Cin, N_T=N_T)
-    planes = pl.pallas_call(
-        kernel,
+    in_pad = _IN_PAD and (
+        ((H + 2) * (W + 2) + H * W) * Cin * x.dtype.itemsize
+        <= int(7.5 * 1024 * 1024))
+    common = dict(
         grid=(B, Cout // N_T, H // H_T),
-        in_specs=[
-            pl.BlockSpec((1, H + 2, W + 2, Cin),
-                         lambda bb, n, h: (bb, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, Cin, N_T), lambda bb, n, h: (0, 0, n),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N_T), lambda bb, n, h: (0, n),
-                         memory_space=pltpu.VMEM),
-        ],
         out_specs=pl.BlockSpec((1, 2, 2, H_T, W, N_T),
                                lambda bb, n, h: (bb, 0, 0, h, 0, n),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 2, 2, H, W, Cout), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * Cin * Cout * 16,
-            bytes_accessed=(xp.size + w16.size + 4 * B * H * W * Cout)
+            bytes_accessed=(x.size + w16.size + 4 * B * H * W * Cout)
             * x.dtype.itemsize,
             transcendentals=0),
         interpret=interpret,
-    )(xp, w16, b2)
+    )
+    w_spec = pl.BlockSpec((16, Cin, N_T), lambda bb, n, h: (0, 0, n),
+                          memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((1, N_T), lambda bb, n, h: (0, n),
+                          memory_space=pltpu.VMEM)
+    if in_pad:
+        kernel = functools.partial(_upconv_kernel, H=H, H_T=H_T, W=W,
+                                   Cin=Cin, N_T=N_T)
+        planes = pl.pallas_call(
+            kernel,
+            in_specs=[
+                pl.BlockSpec((1, H, W, Cin), lambda bb, n, h: (bb, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                w_spec, b_spec,
+            ],
+            scratch_shapes=[pltpu.VMEM((H + 2, W + 2, Cin), x.dtype)],
+            **common,
+        )(x, w16, b2)
+    else:
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        kernel = functools.partial(_upconv_kernel_padded, H_T=H_T, W=W,
+                                   Cin=Cin, N_T=N_T)
+        planes = pl.pallas_call(
+            kernel,
+            in_specs=[
+                pl.BlockSpec((1, H + 2, W + 2, Cin),
+                             lambda bb, n, h: (bb, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                w_spec, b_spec,
+            ],
+            **common,
+        )(xp, w16, b2)
     # (B,2,2,H,W,C) -> (B,H,2,W,2,C) -> (B,2H,2W,C): one XLA transpose
     out = jnp.transpose(planes, (0, 3, 1, 4, 2, 5))
     return out.reshape(B, 2 * H, 2 * W, Cout)

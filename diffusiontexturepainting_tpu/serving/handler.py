@@ -50,10 +50,25 @@ def _brush_preview_reply(model, settings):
 
 
 def handle_request_bytes(model, raw_message: bytes,
-                         debug_dir: str | None = None) -> bytes:
+                         debug_dir: str | None = None,
+                         profile_dir: str | None = None) -> bytes:
     """Decode one binary request, run the model, and return the encoded
     binary reply. Transport-independent: used by the websocket handler and
-    the HTTP POST fallback endpoint alike."""
+    the HTTP POST fallback endpoint alike.
+
+    profile_dir: when set, each request is wrapped in a jax.profiler trace
+    written there (the analog of the reference's NVTX ranges around
+    pipeline stages, stable_diffusion_pipeline.py:358-366; view in
+    TensorBoard/XProf or parse the perfetto json)."""
+    if profile_dir:
+        import contextlib
+
+        import jax
+
+        with contextlib.ExitStack() as stack:
+            stack.enter_context(jax.profiler.trace(profile_dir))
+            return handle_request_bytes(model, raw_message,
+                                        debug_dir=debug_dir)
     # native C++ codec when built (zero-copy image view); Python struct
     # codec otherwise (native_io falls back internally).
     from . import native_io
@@ -96,10 +111,12 @@ class InpaintWebSocketHandler(WebSocketHandler):
     """Handles websocket communication with the painting client."""
 
     def initialize(self, model: ConditionalInpainterBase, model_info_str: str = "",
-                   debug_dir: str | None = None):
+                   debug_dir: str | None = None,
+                   profile_dir: str | None = None):
         self.model = model
         self.model_info_str = model_info_str
         self.debug_dir = debug_dir
+        self.profile_dir = profile_dir
 
     def open(self):
         logger.debug("Socket opened.")
@@ -115,7 +132,8 @@ class InpaintWebSocketHandler(WebSocketHandler):
 
     def _handle_binary_request(self, raw_message: bytes):
         reply = handle_request_bytes(self.model, raw_message,
-                                     debug_dir=self.debug_dir)
+                                     debug_dir=self.debug_dir,
+                                     profile_dir=self.profile_dir)
         self.write_message(reply, binary=True)
 
     def _handle_json_request(self, raw_message: str):

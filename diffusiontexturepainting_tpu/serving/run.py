@@ -57,7 +57,8 @@ def create_server(model=None, resolution: int = 256, debug_dir: str | None = Non
                   checkpoint_dir: str | None = None,
                   scheduler: str | None = None,
                   deep_cache_interval: int | None = None,
-                  warmup_points=None):
+                  warmup_points=None,
+                  profile_dir: str | None = None):
     """Create the Tornado application around an inpainter model."""
     if model is None:
         if mock:
@@ -86,7 +87,8 @@ def create_server(model=None, resolution: int = 256, debug_dir: str | None = Non
     return tornado.web.Application(
         [
             (r"/websocket/", InpaintWebSocketHandler,
-             dict(model=model, model_info_str=model_info, debug_dir=debug_dir)),
+             dict(model=model, model_info_str=model_info, debug_dir=debug_dir,
+                  profile_dir=profile_dir)),
             (r"/inpaint", InpaintHTTPHandler,
              dict(model=model, debug_dir=debug_dir)),
             (r"/health", HealthHandler),
@@ -117,6 +119,10 @@ def run_main(argv=None):
                         help="comma list of RESOLUTIONxSTEPS operating points "
                              "to compile at startup, e.g. '256x20,512x4' "
                              "(the analog of TRT optimization profiles)")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="write a jax.profiler trace of every request "
+                             "here (the NVTX-ranges analog; open in "
+                             "TensorBoard/XProf)")
     args = parser.parse_args(argv)
 
     warmup_points = None
@@ -130,7 +136,8 @@ def run_main(argv=None):
                         checkpoint_dir=args.checkpoint_dir,
                         scheduler=args.scheduler,
                         deep_cache_interval=args.deep_cache_interval,
-                        warmup_points=warmup_points)
+                        warmup_points=warmup_points,
+                        profile_dir=args.profile_dir)
     app.listen(args.port)
     logger.info("Serving on ws://0.0.0.0:%d/websocket/", args.port)
     tornado.ioloop.IOLoop.current().start()

@@ -226,3 +226,27 @@ def test_streaming_conv_matches_xla():
     out = _conv3x3_stream(x, w, b, (8, 128), interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_inpad_kernels_match_xla():
+    """The in-kernel-padding variants (off by default; see _IN_PAD) must
+    stay numerically identical to the padded/XLA paths."""
+    import diffusiontexturepainting_tpu.ops.conv3x3 as convmod
+    from diffusiontexturepainting_tpu.ops.conv3x3 import upsample2x_conv3x3
+
+    x = _rand((2, 16, 16, 32), 0)
+    w = _rand((3, 3, 32, 128), 1) * 0.1
+    b = _rand((128,), 2) * 0.1
+    ref = conv3x3(x, w, b, "xla")
+    up_ref = upsample2x_conv3x3(x, w, b, "xla")
+    old = convmod._IN_PAD
+    convmod._IN_PAD = True
+    try:
+        out = conv3x3(x, w, b, "pallas")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+        up = upsample2x_conv3x3(x, w, b, "pallas")
+        np.testing.assert_allclose(np.asarray(up), np.asarray(up_ref),
+                                   atol=1e-4, rtol=1e-4)
+    finally:
+        convmod._IN_PAD = old

@@ -99,3 +99,23 @@ def test_websocket_stroke_roundtrip(mock_server):
     fast = client.generate_raw(empty)
     np.testing.assert_allclose(fast, client.image, atol=1e-6)
     client.close()
+
+
+def test_profile_dir_wraps_request(tmp_path):
+    """--profile-dir traces each request (NVTX-ranges analog)."""
+    import glob
+
+    from diffusiontexturepainting_tpu.client.mock_model import (
+        MockConditionalInpainter)
+    from diffusiontexturepainting_tpu.serving import server_io
+    from diffusiontexturepainting_tpu.serving.handler import handle_request_bytes
+
+    model = MockConditionalInpainter(64)
+    prof = str(tmp_path / "prof")
+    req = (server_io.encode_request_type(server_io.RequestType.NEW_STAMP)
+           + server_io.encode_inference_settings(steps=2, width=64)
+           + server_io.image_to_binary(np.zeros((64, 64, 4), np.uint8)))
+    reply = handle_request_bytes(model, req, profile_dir=prof)
+    assert reply[0] == server_io.RequestType.RETURN_STAMP.value
+    assert glob.glob(prof + "/**/*.json.gz", recursive=True) \
+        or glob.glob(prof + "/**/*.xplane.pb", recursive=True)
