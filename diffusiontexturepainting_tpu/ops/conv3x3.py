@@ -43,6 +43,19 @@ def _lax_conv3x3(x, w, b):
     return out.astype(x.dtype)
 
 
+def _lax_conv3x3_nat(x, w, b):
+    """Natively-differentiable XLA conv (training path): no
+    preferred_element_type - its transpose rule mixes operand dtypes
+    under bf16 and fails. The MXU still accumulates f32 internally; the
+    only difference from _lax_conv3x3 is one output rounding."""
+    out = lax.conv_general_dilated(
+        x, w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
 def _vmem_estimate(H, W, Cin, nt, ht, fused) -> int:
     """Conservative VMEM bytes for one grid step: Mosaic double-buffers the
     streamed blocks (x, w, out, residual); the fused variant additionally
@@ -90,15 +103,36 @@ def pallas_plan(x_shape, w_shape, fused: bool = False):
         # the dynamic row start is trivially aligned)
         hts = [8] if H % 8 == 0 else [H]
     if not fused:
-        # Plain kernel: simple budgets validated on hardware (one padded
-        # image + one cout-tile of weights resident; Mosaic streams the
-        # rest). The pessimistic double-buffer model below would reject
-        # shapes that demonstrably compile and run at >130 TFLOP/s.
-        if (H + 2) * (W + 2) * Cin * 2 > int(9.5 * 1024 * 1024):
+        xb = (H + 2) * (W + 2) * Cin * 2
+        if xb > int(9.5 * 1024 * 1024):
             return None
+        if H * W <= 4096 and B <= 3:
+            # UNet-latent scale at serving batches (CFG triple-batch or
+            # smaller): simple budgets validated extensively on hardware -
+            # one padded image + one cout-tile of weights resident,
+            # largest row tile. Left untouched so serving plans never
+            # change. Larger batches (training) double-buffer the image
+            # block across the batch grid dim and need the strict budget
+            # below ((8,64,64,512)x512 OOMed the scoped-vmem limit here).
+            for nt in nts:
+                if 9 * Cin * nt * 2 <= 6 * 1024 * 1024:
+                    return hts[0], nt
+            return None
+        # Larger-spatial shapes (VAE module path, training batches):
+        # these OOMed the 16 MB scoped-vmem budget with the simple rule
+        # ((8,128,128,128)x256 in the bf16 train step; (2,128,128,256)
+        # x512 standalone). Here the padded image IS double-buffered
+        # across the batch grid dim, the out tile double-buffers, and
+        # the f32 accumulator lives on the stack - walk (nt, ht) against
+        # the full sum and fall back to XLA's conv (good at these
+        # shapes) when nothing fits.
         for nt in nts:
-            if 9 * Cin * nt * 2 <= 6 * 1024 * 1024:
-                return hts[0], nt
+            wb = 9 * Cin * nt * 2
+            if wb > 6 * 1024 * 1024:
+                continue
+            for ht in hts:
+                if 2 * xb + wb + ht * W * nt * 8 <= 16 * 1024 * 1024:
+                    return ht, nt
         return None
     for nt in nts:
         for ht in hts:
@@ -242,6 +276,22 @@ def _conv3x3_pallas(x, w, b, plan, interpret=False, in_pad=None):
     )(xp, w9, b2)
 
 
+# Process-wide dispatch override. Training sets this to "xla": the pallas
+# kernels' custom_vjp re-derives gradients through an f32 XLA conv per
+# call, which measured ~60x slower per train step than letting XLA
+# differentiate its own conv natively (5.9 s vs ~0.1 s at batch 8). The
+# override routes AROUND the custom_vjp wrapper entirely so forward AND
+# backward are plain XLA convs. Serving (no differentiation) leaves it
+# None.
+_FORCE_IMPL = None
+
+
+def set_conv_impl(force):
+    """None (auto) | "xla" | "pallas" - see _FORCE_IMPL."""
+    global _FORCE_IMPL
+    _FORCE_IMPL = force
+
+
 def _dispatch(x, w, b, force):
     if force == "xla":
         return _lax_conv3x3(x, w, b)
@@ -273,10 +323,26 @@ def _conv3x3_fwd(x, w, b, force):
     return _dispatch(x, w, b, force), (x, w, b)
 
 
+def _cast_like(grads, primals):
+    return tuple(None if g is None else g.astype(p.dtype)
+                 for g, p in zip(grads, primals))
+
+
+def _to_f32(*arrays):
+    return tuple(None if a is None else a.astype(jnp.float32)
+                 for a in arrays)
+
+
 def _conv3x3_bwd(force, res, g):
+    # Backward runs entirely in f32: the transpose rule of a
+    # preferred_element_type=f32 conv over bf16 operands mixes dtypes
+    # (lax.conv requires them equal), so under mixed precision the
+    # re-derivation must not see bf16 primals. Grads are cast back to
+    # each primal's dtype.
     x, w, b = res
-    _, vjp = jax.vjp(lambda x_, w_, b_: _lax_conv3x3(x_, w_, b_), x, w, b)
-    return vjp(g)
+    _, vjp = jax.vjp(lambda x_, w_, b_: _lax_conv3x3(x_, w_, b_),
+                     *_to_f32(x, w, b))
+    return _cast_like(vjp(g.astype(jnp.float32)), (x, w, b))
 
 
 conv3x3.defvjp(_conv3x3_fwd, _conv3x3_bwd)
@@ -305,8 +371,14 @@ class Conv3x3(nn.Module):
             # declare-only mode for callers that fuse the conv into a
             # larger kernel (gn_silu_conv3x3)
             return kernel, bias
+        if _FORCE_IMPL == "xla":
+            # bypass the custom_vjp wrapper: native XLA conv + native AD
+            return _lax_conv3x3_nat(x.astype(self.dtype),
+                                    kernel.astype(self.dtype),
+                                    bias.astype(self.dtype))
         return conv3x3(x.astype(self.dtype), kernel.astype(self.dtype),
-                       bias.astype(self.dtype), self.force)
+                       bias.astype(self.dtype),
+                       _FORCE_IMPL or self.force)
 
 
 # ---------------------------------------------------------------------------
@@ -553,10 +625,11 @@ def _gn_conv_fwd(x, scale, bias, w, b, temb, residual,
 
 def _gn_conv_bwd(num_groups, eps, force, res, g):
     x, scale, bias, w, b, temb, residual = res
+    primals = (x, scale, bias, w, b, temb, residual)
     _, vjp = jax.vjp(
         lambda *args: _gn_conv_reference(*args, num_groups, eps),
-        x, scale, bias, w, b, temb, residual)
-    return vjp(g)
+        *_to_f32(*primals))
+    return _cast_like(vjp(g.astype(jnp.float32)), primals)
 
 
 gn_silu_conv3x3.defvjp(_gn_conv_fwd, _gn_conv_bwd)
@@ -749,9 +822,16 @@ def _upconv_dispatch(x, w, b, force):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _upconv_vjp(x, w, b, force):
+    return _upconv_dispatch(x, w, b, force)
+
+
 def upsample2x_conv3x3(x, w, b, force="auto"):
     """nearest-2x upsample fused with a 3x3 SAME conv (NHWC)."""
-    return _upconv_dispatch(x, w, b, force)
+    if _FORCE_IMPL == "xla":
+        up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return _lax_conv3x3_nat(up, w, b)  # native XLA AD (training)
+    return _upconv_vjp(x, w, b, _FORCE_IMPL or force)
 
 
 def _upconv_fwd(x, w, b, force):
@@ -760,11 +840,11 @@ def _upconv_fwd(x, w, b, force):
 
 def _upconv_bwd(force, res, g):
     x, w, b = res
-    _, vjp = jax.vjp(_upconv_reference, x, w, b)
-    return vjp(g)
+    _, vjp = jax.vjp(_upconv_reference, *_to_f32(x, w, b))
+    return _cast_like(vjp(g.astype(jnp.float32)), (x, w, b))
 
 
-upsample2x_conv3x3.defvjp(_upconv_fwd, _upconv_bwd)
+_upconv_vjp.defvjp(_upconv_fwd, _upconv_bwd)
 
 
 # ---------------------------------------------------------------------------

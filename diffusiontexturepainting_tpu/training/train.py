@@ -62,11 +62,20 @@ def build_argparser():
     p.add_argument("--mesh_model", type=int, default=1)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--tiny", action="store_true", help="tiny model (tests)")
+    p.add_argument("--mixed_precision", choices=["bf16", "fp32"], default=None,
+                   help="compute dtype (params stay f32); default bf16 on "
+                        "TPU, fp32 elsewhere")
     p.add_argument("--log_every", type=int, default=10)
     return p
 
 
-def build_models(tiny: bool):
+def build_models(tiny: bool, dtype=None):
+    """dtype = compute dtype (mixed precision): params always live in f32
+    (flax param_dtype), activations/matmuls run in `dtype` - the analog of
+    the reference's accelerate fp16/bf16 training (train...py:395-399)."""
+    import jax
+    import jax.numpy as jnp
+
     from ..core.config import (PatchEncoderConfig, UNetConfig, VAEConfig,
                                tiny_patch_encoder_config, tiny_unet_config,
                                tiny_vae_config)
@@ -74,13 +83,17 @@ def build_models(tiny: bool):
     from ..models.unet import UNet2DCondition
     from ..models.vae import VAEDecoder, VAEEncoder
 
+    if dtype is None:
+        dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                 else jnp.float32)
     if tiny:
         ucfg, vcfg, pcfg = (tiny_unet_config(), tiny_vae_config(),
                             tiny_patch_encoder_config())
     else:
         ucfg, vcfg, pcfg = UNetConfig(), VAEConfig(), PatchEncoderConfig()
-    return (UNet2DCondition(ucfg), VAEEncoder(vcfg), VAEDecoder(vcfg),
-            ConditionPatchEncoder(pcfg))
+    return (UNet2DCondition(ucfg, dtype=dtype), VAEEncoder(vcfg, dtype=dtype),
+            VAEDecoder(vcfg, dtype=dtype),
+            ConditionPatchEncoder(pcfg, dtype=dtype))
 
 
 def main(argv=None):
@@ -98,7 +111,11 @@ def main(argv=None):
     from .trainer import (TrainConfig, create_train_state, make_train_step,
                           split_patch_encoder_params)
 
-    unet, vae_enc, vae_dec, patch_enc = build_models(args.tiny)
+    import jax.numpy as jnp
+
+    mp_dtype = {None: None, "bf16": jnp.bfloat16,
+                "fp32": jnp.float32}[args.mixed_precision]
+    unet, vae_enc, vae_dec, patch_enc = build_models(args.tiny, dtype=mp_dtype)
     cfg = TrainConfig(
         resolution=args.resolution, lora_rank=args.lora_rank,
         learning_rate=args.learning_rate, snr_gamma=args.snr_gamma,

@@ -168,6 +168,13 @@ def make_loss_fn(cfg: TrainConfig, unet, vae_encoder, patch_encoder):
 
 
 def make_train_step(cfg: TrainConfig, unet, vae_encoder, patch_encoder):
+    # Training differentiates the towers: route all convs to XLA's native
+    # conv (and its native AD). The serving pallas kernels' custom_vjp
+    # re-derivation measured ~60x slower per step (ops/conv3x3.py
+    # _FORCE_IMPL), and XLA's conv is strong at training batch sizes.
+    from ..ops.conv3x3 import set_conv_impl
+
+    set_conv_impl("xla")
     loss_fn = make_loss_fn(cfg, unet, vae_encoder, patch_encoder)
 
     def train_step(state: TrainState, frozen, batch, rng):

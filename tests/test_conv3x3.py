@@ -250,3 +250,28 @@ def test_inpad_kernels_match_xla():
                                    atol=1e-4, rtol=1e-4)
     finally:
         convmod._IN_PAD = old
+
+
+def test_grad_through_bf16_conv():
+    """Mixed-precision training backward: f32 cotangent into a bf16 conv
+    (the custom-vjp must cast; regression for the bf16 train step)."""
+    x = _rand((1, 8, 8, 16), 0).astype(jnp.bfloat16)
+    w = (_rand((3, 3, 16, 128), 1) * 0.1).astype(jnp.bfloat16)
+    b = (_rand((128,), 2) * 0.1).astype(jnp.bfloat16)
+
+    def loss(w_):
+        y = conv3x3(x, w_, b).astype(jnp.float32)
+        return jnp.mean(jnp.square(y))
+
+    g = jax.grad(loss)(w)
+    assert g.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(g, np.float32)).all()
+
+    from diffusiontexturepainting_tpu.ops.conv3x3 import upsample2x_conv3x3
+
+    def loss_up(w_):
+        y = upsample2x_conv3x3(x, w_, b).astype(jnp.float32)
+        return jnp.mean(jnp.square(y))
+
+    gu = jax.grad(loss_up)(w)
+    assert np.isfinite(np.asarray(gu, np.float32)).all()
