@@ -63,25 +63,30 @@ def attention(q, k, v, num_heads: int, scale: float | None = None,
         use_flash: force the Pallas flash path on/off; None = auto
             (flash for long self-attention on TPU).
     """
+    head_dim = q.shape[-1] // num_heads
+    # VMEM budget of the whole-KV-resident kernel: the K/V panel
+    # (2 * Lk * hd_pad bf16) plus a (q_block, Lk) f32 score block. Longer
+    # sequences (the 1024 px engine point: 16384 tokens) stream K/V
+    # blocks with online softmax instead.
+    hd_pad = max(128, head_dim)
+    kv_bytes = 2 * k.shape[1] * hd_pad * 2
+    score_bytes = (512 if hd_pad <= 128 else 128) * k.shape[1] * 4
+    resident_fits = kv_bytes + score_bytes <= 11 * 1024 * 1024
     if use_flash is None:
-        head_dim = q.shape[-1] // num_heads
-        # VMEM budget: the kernel keeps the whole K/V panel resident
-        # (2 * Lk * hd_pad bf16); the q block shrinks for fat heads
-        # (the VAE mid attention is 1 head x 512 dim x 4096 tokens).
-        hd_pad = max(128, head_dim)
-        kv_bytes = 2 * k.shape[1] * hd_pad * 2
         use_flash = (
             q.shape[1] >= _FLASH_MIN_Q_LEN
             and q.shape[1] == k.shape[1]
             and head_dim <= 512
-            and kv_bytes <= 9 * 1024 * 1024
             and jax.default_backend() == "tpu"
         )
     if use_flash:
         try:
-            from .flash_attention import flash_attention
+            from .flash_attention import (flash_attention,
+                                          flash_attention_streaming)
 
-            return flash_attention(q, k, v, num_heads, scale=scale)
+            if resident_fits:
+                return flash_attention(q, k, v, num_heads, scale=scale)
+            return flash_attention_streaming(q, k, v, num_heads, scale=scale)
         except Exception:  # pragma: no cover - fallback if kernel unavailable
             pass
     return xla_attention(q, k, v, num_heads, scale=scale)

@@ -135,3 +135,121 @@ def flash_attention(q, k, v, num_heads: int, scale: float | None = None,
     out = out[:, :Lq, :hd]
     out = out.reshape(B, num_heads, Lq, hd).transpose(0, 2, 1, 3)
     return out.reshape(B, Lq, D)
+
+
+# ---------------------------------------------------------------------------
+# KV-streaming flash attention (online softmax).
+#
+# The whole-KV-resident kernel above needs lk * hd_pad * 2 * 2 bytes of
+# VMEM for the K/V panel plus a (bq, lk) f32 score block - fine for the
+# <= 4096-token sequences of 256/512 px stamps, impossible at the
+# engine envelope's 1024 px point (128^2 latent = 16384 tokens: 8.4 MB
+# panel + 33 MB scores; the unfused XLA path would materialize a 25 GB
+# score tensor). This kernel streams K/V in blocks with the standard
+# running (max, sum, acc) online-softmax state, so VMEM use is
+# O(bq*hd + bk*hd + bq*bk) regardless of sequence length - the same
+# algorithm as the reference's TRT fMHA flash plugins (models.py:594-646).
+# ---------------------------------------------------------------------------
+
+
+def _stream_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+                   *, scale: float, true_lk: int, bk: int, nk: int):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -1e30)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    qb = q_ref[0]  # (bq, hd)
+    kb = k_ref[0]  # (bk, hd)
+    vb = v_ref[0]
+    s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    col = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < true_lk, s, -1e30)
+
+    m_prev = m_scr[:, 0:1]           # (bq, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)           # (bq, bk) f32
+    corr = jnp.exp(m_prev - m_new)   # (bq, 1)
+    l_new = l_scr[:, 0:1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[...] = acc_scr[...] * corr + jnp.dot(
+        p.astype(vb.dtype), vb, preferred_element_type=jnp.float32)
+    m_scr[:, 0:1] = m_new
+    l_scr[:, 0:1] = l_new
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        o_ref[0] = (acc_scr[...] / l_scr[:, 0:1]).astype(o_ref.dtype)
+
+
+def flash_attention_streaming(q, k, v, num_heads: int,
+                              scale: float | None = None,
+                              q_block: int = 256, kv_block: int = 1024):
+    """Streaming-KV fused attention for long sequences (any Lk).
+
+    Same interface/result as `flash_attention`; use for sequences whose
+    K/V panel or score block exceeds VMEM (ops/attention.py dispatches).
+    """
+    B, Lq, D = q.shape
+    Lk = k.shape[1]
+    hd = D // num_heads
+    if scale is None:
+        scale = hd**-0.5
+
+    def split(x, L):
+        x = x.reshape(B, L, num_heads, hd).transpose(0, 2, 1, 3)
+        return x.reshape(B * num_heads, L, hd)
+
+    qh, kh, vh = split(q, Lq), split(k, Lk), split(v, Lk)
+    hd_pad = _round_up(hd, 128)
+    bq = min(q_block, _round_up(Lq, 128))
+    bk = min(kv_block, _round_up(Lk, 128))
+    lq_pad = _round_up(Lq, bq)
+    lk_pad = _round_up(Lk, bk)
+    if hd_pad != hd:
+        pad = ((0, 0), (0, 0), (0, hd_pad - hd))
+        qh, kh, vh = jnp.pad(qh, pad), jnp.pad(kh, pad), jnp.pad(vh, pad)
+    if lq_pad != Lq:
+        qh = jnp.pad(qh, ((0, 0), (0, lq_pad - Lq), (0, 0)))
+    if lk_pad != Lk:
+        kh = jnp.pad(kh, ((0, 0), (0, lk_pad - Lk), (0, 0)))
+        vh = jnp.pad(vh, ((0, 0), (0, lk_pad - Lk), (0, 0)))
+
+    nk = lk_pad // bk
+    kernel = functools.partial(_stream_kernel, scale=scale, true_lk=Lk,
+                               bk=bk, nk=nk)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B * num_heads, lq_pad // bq, nk),
+        in_specs=[
+            pl.BlockSpec((1, bq, hd_pad), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, hd_pad), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, hd_pad), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, hd_pad), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * num_heads, lq_pad, hd_pad),
+                                       q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),   # running max
+            pltpu.VMEM((bq, 128), jnp.float32),   # running sum
+            pltpu.VMEM((bq, hd_pad), jnp.float32),  # running output
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * num_heads * lq_pad * lk_pad * hd_pad,
+            bytes_accessed=(B * num_heads
+                            * (lq_pad + 2 * lk_pad + lq_pad) * hd_pad * 2),
+            transcendentals=B * num_heads * lq_pad * lk_pad,
+        ),
+    )(qh, kh, vh)
+
+    out = out[:, :Lq, :hd]
+    out = out.reshape(B, num_heads, Lq, hd).transpose(0, 2, 1, 3)
+    return out.reshape(B, Lq, D)

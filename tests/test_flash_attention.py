@@ -67,3 +67,49 @@ def test_flash_bf16():
         ours = flash_attention(q, k, v, 2)
     np.testing.assert_allclose(np.asarray(ours, np.float32),
                                np.asarray(ref, np.float32), atol=3e-2)
+
+
+@pytest.mark.parametrize("b,l,heads,hd,bq,bk", [
+    (1, 512, 8, 40, 128, 256),   # multi-block in both q and kv
+    (1, 384, 2, 64, 256, 128),   # Lk not a multiple of the kv block
+    (2, 256, 1, 512, 128, 128),  # fat head (VAE mid style)
+])
+def test_streaming_flash_matches_xla(b, l, heads, hd, bq, bk):
+    from diffusiontexturepainting_tpu.ops.flash_attention import (
+        flash_attention_streaming)
+
+    d = heads * hd
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+    ref = xla_attention(q, k, v, heads)
+    with pltpu.force_tpu_interpret_mode():
+        ours = flash_attention_streaming(q, k, v, heads,
+                                         q_block=bq, kv_block=bk)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_long_sequence_dispatches_streaming(monkeypatch):
+    """16384-token self-attention (the 1024px engine point) must route to
+    the streaming kernel - the resident kernel or unfused XLA would need
+    GBs. Checked structurally (dispatch decision), not by running 16384
+    tokens in the interpreter."""
+    import diffusiontexturepainting_tpu.ops.attention as attnmod
+
+    called = {}
+
+    def fake_stream(q, k, v, h, scale=None):
+        called["stream"] = True
+        return q
+
+    monkeypatch.setattr(attnmod, "jax", attnmod.jax)
+    import diffusiontexturepainting_tpu.ops.flash_attention as fa
+    monkeypatch.setattr(fa, "flash_attention_streaming", fake_stream)
+    monkeypatch.setattr(attnmod.jax, "default_backend", lambda: "tpu",
+                        raising=False)
+    q = jnp.zeros((1, 16384, 320), jnp.float32)
+    out = attnmod.attention(q, q, q, 8)
+    assert called.get("stream")
+    assert out.shape == q.shape
