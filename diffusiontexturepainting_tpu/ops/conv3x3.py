@@ -116,8 +116,18 @@ def pallas_plan(x_shape, w_shape, fused: bool = False):
             # below ((8,64,64,512)x512 OOMed the scoped-vmem limit here).
             for nt in nts:
                 if 9 * Cin * nt * 2 <= 6 * 1024 * 1024:
+                    if H * W >= 4096 and Cout > nt:
+                        # multi-cout-tile plan on a full 64x64 image: the
+                        # (3,64,64,640)x640 conv of the 1024px UNet OOMs
+                        # the scoped-vmem limit at every row tile tried
+                        # (the image block is held across cout tiles and
+                        # double-buffers) - XLA's conv takes it. No
+                        # 256/512px serving shape hits this: their 64x64
+                        # convs are all single-cout-tile.
+                        return None
                     return hts[0], nt
-            return None
+            else:
+                return None
         # Larger-spatial shapes (VAE module path, training batches):
         # these OOMed the 16 MB scoped-vmem budget with the simple rule
         # ((8,128,128,128)x256 in the bf16 train step; (2,128,128,256)
