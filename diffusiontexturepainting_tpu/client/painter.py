@@ -53,16 +53,16 @@ def overpaint_canvas(canvas: np.ndarray, margin: int) -> np.ndarray:
     return out
 
 
-def erase_circle(canvas: np.ndarray) -> np.ndarray:
-    """Paint a white circle (Erase mode paints background color)."""
-    out = canvas.copy()
-    h, w = canvas.shape[:2]
-    yy, xx = np.mgrid[0:h, 0:w]
-    r = min(h, w) * 0.4
-    mask = ((yy - h / 2) ** 2 + (xx - w / 2) ** 2) <= r * r
-    out[mask, :3] = 1.0
-    out[mask, 3] = 1.0
-    return out
+def circle_mask(size: int, margin: int = 2) -> np.ndarray:
+    """(size, size, 1) filled-circle stamp mask for Erase mode (reference
+    manager.py:48-53: PIL ellipse from (margin, margin) to
+    (size-margin, size-margin), white fill)."""
+    from PIL import Image, ImageDraw
+
+    img = Image.new("L", (size, size))
+    ImageDraw.Draw(img).ellipse(
+        (margin, margin, size - margin, size - margin), fill=255)
+    return (np.asarray(img, np.float32) / 255.0)[..., None]
 
 
 def stamp_edge_mask(res: int, margin: int = STAMP_EDGE_MARGIN) -> np.ndarray:
@@ -138,26 +138,31 @@ class TexturePainter:
                           flip_normals=self.flip_normals)
         canvas = np.asarray(res["render"], np.float32)
 
-        if self.mode == BrushMode.OVERPAINT:
-            margin = max(1, int(OVERPAINT_MARGIN_FRAC * canvas.shape[0]))
-            canvas = overpaint_canvas(canvas, margin)
-            result = self.model.generate(canvas, **self.model_settings)
-        elif self.mode == BrushMode.ERASE:
-            result = erase_circle(canvas)[..., :3]
+        if self.mode == BrushMode.ERASE:
+            # Erase paints all-white with a circle stamp mask; the texture
+            # under the stamp is CLEARED back to unpainted (reference
+            # manager.py:246-250, 267-270: texture = ~update_mask * texture).
+            result = np.ones_like(canvas[..., :3])
+            edge = circle_mask(canvas.shape[0])
         else:
+            if self.mode == BrushMode.OVERPAINT:
+                margin = max(1, int(OVERPAINT_MARGIN_FRAC * canvas.shape[0]))
+                canvas = overpaint_canvas(canvas, margin)
             result = self.model.generate(canvas, **self.model_settings)
+            edge = stamp_edge_mask(canvas.shape[0])
 
-        edge = stamp_edge_mask(canvas.shape[0])
         painted = np.concatenate([result[..., :3], edge], axis=-1)
 
         update = backproject_texture(self.mesh, res["proj_mesh"],
                                      res["face_idx"], painted,
                                      self.texture_width)
-        mask = update[..., 3:4] > 0.5
-        self.texture[..., :3] = np.where(mask, update[..., :3],
-                                         self.texture[..., :3])
-        self.texture[..., 3:4] = np.maximum(self.texture[..., 3:4],
-                                            mask.astype(np.float32))
+        # reference manager.py:267: replace only nonzero-alpha texels
+        mask = update[..., 3:4] > 0.0
+        if self.mode == BrushMode.ERASE:
+            self.texture = np.where(mask, 0.0, self.texture)
+        else:
+            upd = np.clip(update, None, 1.0)
+            self.texture = np.where(mask, upd, self.texture)
         return update
 
     # --- baking ---

@@ -33,19 +33,37 @@ logger = logging.getLogger(__name__)
 _cache_initialized = False
 
 
+def default_cache_dir() -> str:
+    """Cache location, in priority order: $DTP_XLA_CACHE_DIR, then a
+    repo-local `.cache/xla` (survives environments with an ephemeral
+    $HOME - the round-1 driver paid a 200 s cold compile every benchmark
+    because ~/.cache did not persist), then ~/.cache as a fallback."""
+    env = os.environ.get("DTP_XLA_CACHE_DIR")
+    if env:
+        return env
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    if os.access(repo_root, os.W_OK):
+        return os.path.join(repo_root, ".cache", "xla")
+    return os.path.join(
+        os.path.expanduser("~"), ".cache", "dtp_tpu", "xla_cache")
+
+
 def enable_persistent_cache(cache_dir: str | None = None):
     """Enable the XLA persistent compilation cache (the analog of the
     reference's TRT timing cache + .plan files on disk)."""
     global _cache_initialized
     if _cache_initialized:
         return
-    cache_dir = cache_dir or os.path.join(
-        os.path.expanduser("~"), ".cache", "dtp_tpu", "xla_cache")
+    cache_dir = cache_dir or default_cache_dir()
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         _cache_initialized = True
+        n = len(os.listdir(cache_dir))
+        logger.info("persistent compile cache at %s (%d entries)",
+                    cache_dir, n)
     except Exception as e:  # pragma: no cover
         logger.warning("persistent compilation cache unavailable: %s", e)
 
@@ -100,5 +118,10 @@ class Engine:
             # fetch a few bytes: on tunneled backends block_until_ready
             # does not guarantee completion
             np.asarray(out[1][:1, :1])
-            logger.info("warmup stamp %dx%d steps=%d cache=%d: %.1fs",
-                        res, res, steps, interval, time.time() - tic)
+            dt = time.time() - tic
+            # a persistent-cache hit deserializes in a few seconds; a
+            # cold compile of the 512px stamp program is ~3 min - log
+            # which one happened so cache regressions are visible
+            logger.info("warmup stamp %dx%d steps=%d cache=%d: %.1fs (%s)",
+                        res, res, steps, interval, dt,
+                        "cache hit" if dt < 30 else "cold compile")

@@ -68,7 +68,9 @@ def attention(q, k, v, num_heads: int, scale: float | None = None,
     # (2 * Lk * hd_pad bf16) plus a (q_block, Lk) f32 score block. Longer
     # sequences (the 1024 px engine point: 16384 tokens) stream K/V
     # blocks with online softmax instead.
-    hd_pad = max(128, head_dim)
+    # same rounding the kernel uses (flash_attention pads head_dim to the
+    # next multiple of 128); max() alone undercounts e.g. hd=160 -> 256
+    hd_pad = ((head_dim + 127) // 128) * 128
     kv_bytes = 2 * k.shape[1] * hd_pad * 2
     score_bytes = (512 if hd_pad <= 128 else 128) * k.shape[1] * 4
     resident_fits = kv_bytes + score_bytes <= 11 * 1024 * 1024

@@ -302,6 +302,25 @@ def set_conv_impl(force):
     _FORCE_IMPL = force
 
 
+import contextlib  # noqa: E402
+
+
+@contextlib.contextmanager
+def conv_impl(force):
+    """Scoped conv-dispatch override. The override is consulted at TRACE
+    time, so enter this inside the function being jitted (the body runs
+    while tracing); the previous impl is restored on exit, so a training
+    trace can no longer leak "xla" dispatch into serving programs traced
+    later in the same process."""
+    global _FORCE_IMPL
+    prev = _FORCE_IMPL
+    _FORCE_IMPL = force
+    try:
+        yield
+    finally:
+        _FORCE_IMPL = prev
+
+
 def _dispatch(x, w, b, force):
     if force == "xla":
         return _lax_conv3x3(x, w, b)

@@ -220,6 +220,13 @@ def flash_attention_streaming(q, k, v, num_heads: int,
         vh = jnp.pad(vh, ((0, 0), (0, lk_pad - Lk), (0, 0)))
 
     nk = lk_pad // bk
+    # Invariant the kernel's -1e30 column masking relies on: the pad is
+    # strictly smaller than one KV block, so no block is ever FULLY
+    # masked (a fully-masked block would make m_new = -1e30 and
+    # p = exp(0) = 1 for every padded column, corrupting the softmax
+    # denominator). Guaranteed by lk_pad = round_up(Lk, bk); keep it so
+    # if block-size selection changes.
+    assert lk_pad - Lk < bk, (lk_pad, Lk, bk)
     kernel = functools.partial(_stream_kernel, scale=scale, true_lk=Lk,
                                bk=bk, nk=nk)
     out = pl.pallas_call(

@@ -1,13 +1,18 @@
-"""DPM-Solver++ multistep scheduler (order 1/2), per-index tables.
+"""DPM-Solver(++) multistep scheduler, orders 1/2/3, per-index tables.
 
-Semantics match the reference DPMScheduler (utilities.py:649-1008) at its
-defaults: algorithm dpmsolver++, solver_type midpoint, solver_order 2,
-SD betas 0.00085/0.012, timesteps linspace(0, N-1, n+1).round()[::-1][:-1],
-lower_order_final (first-order final step when n < 15).
+Semantics match the reference DPMScheduler
+(/root/reference/trt_inference/utilities.py:649-1008) across its full
+surface: algorithm_type dpmsolver++/dpmsolver, solver_type
+midpoint/heun, solver_order 1/2/3 with the lower-order warmup ladder
+(order ramps 1 -> 2 -> 3 over the first steps) and lower_order_final
+(orders step down to 2 then 1 on the final steps when n < 15).
+SD betas 0.00085/0.012, timesteps linspace(0, N-1, n+1).round()[::-1][:-1].
 
-Scan design: the multistep history (previous converted model output) is
-explicit carried state; order selection per step becomes a precomputed
-0/1 flag row, so the scan body is branch-free.
+Scan design: the multistep history (the two previous converted model
+outputs) is explicit carried state; per-step order selection becomes
+three precomputed one-hot flag rows, so the scan body is branch-free
+and every coefficient (including the heun/midpoint and ++/non-++ sign
+differences) is folded into the tables.
 """
 
 from __future__ import annotations
@@ -22,12 +27,20 @@ class DPMSolverMultistepScheduler(Scheduler):
     def __init__(self, num_train_timesteps: int = 1000,
                  beta_start: float = 0.00085, beta_end: float = 0.012,
                  solver_order: int = 2, lower_order_final: bool = True,
+                 algorithm_type: str = "dpmsolver++",
+                 solver_type: str = "midpoint",
                  prediction_type: str = "epsilon"):
-        if solver_order not in (1, 2):
-            raise NotImplementedError("solver_order must be 1 or 2")
+        if solver_order not in (1, 2, 3):
+            raise ValueError("solver_order must be 1, 2 or 3")
+        if algorithm_type not in ("dpmsolver++", "dpmsolver"):
+            raise ValueError(algorithm_type)
+        if solver_type not in ("midpoint", "heun"):
+            raise ValueError(solver_type)
         self.num_train_timesteps = num_train_timesteps
         self.solver_order = solver_order
         self.lower_order_final = lower_order_final
+        self.algorithm_type = algorithm_type
+        self.solver_type = solver_type
         self.prediction_type = prediction_type
         ac = alphas_cumprod_from_betas(
             scaled_linear_betas(num_train_timesteps, beta_start, beta_end))
@@ -46,30 +59,80 @@ class DPMSolverMultistepScheduler(Scheduler):
         lam, al, sg = self._lambda_t, self._alpha_t, self._sigma_t
         prev_ts = np.concatenate([ts[1:], [0]])
         h = lam[prev_ts] - lam[ts]
+        plus = self.algorithm_type == "dpmsolver++"
 
-        # first-order coefs (dpmsolver++): x = (s_p/s)x - a_p(e^{-h}-1)x0
-        self.c1_0 = (sg[prev_ts] / sg[ts]).astype(np.float32)
-        self.c1_1 = (al[prev_ts] * (np.exp(-h) - 1.0)).astype(np.float32)
+        # first-order coefs. ++: x = (s_p/s)x - a_p(e^{-h}-1)D0
+        #                non-++: x = (a_p/a)x - s_p(e^{h}-1)D0
+        if plus:
+            self.c1_0 = (sg[prev_ts] / sg[ts]).astype(np.float32)
+            self.c1_1 = (al[prev_ts] * (np.exp(-h) - 1.0)).astype(np.float32)
+        else:
+            self.c1_0 = (al[prev_ts] / al[ts]).astype(np.float32)
+            self.c1_1 = (sg[prev_ts] * (np.exp(h) - 1.0)).astype(np.float32)
 
-        # second-order midpoint coefs
+        # second-order coefs; the heun/midpoint and ++/non-++ sign
+        # variants are folded into c2_2 so the step is always
+        # x = c2_0*x - c2_1*D0 - c2_2*D1 (reference utilities.py:871-920)
         self.c2_0 = self.c1_0
         self.c2_1 = self.c1_1
-        self.c2_2 = (0.5 * al[prev_ts] * (np.exp(-h) - 1.0)).astype(np.float32)
+        if plus:
+            if self.solver_type == "midpoint":
+                c2_2 = 0.5 * al[prev_ts] * (np.exp(-h) - 1.0)
+            else:  # heun: x += coef*D1 -> fold the sign
+                c2_2 = -al[prev_ts] * ((np.exp(-h) - 1.0) / _safe(h) + 1.0)
+        else:
+            if self.solver_type == "midpoint":
+                c2_2 = 0.5 * sg[prev_ts] * (np.exp(h) - 1.0)
+            else:
+                c2_2 = sg[prev_ts] * ((np.exp(h) - 1.0) / _safe(h) - 1.0)
+        self.c2_2 = c2_2.astype(np.float32)
 
-        # r0 = h_0 / h with s1 = previous step's timestep
+        # third-order coefs (reference utilities.py:925-960); step is
+        # x = c3_0*x - c3_1*D0 - c3_2*D1 - c3_3*D2 with the ++ "+D1"
+        # sign folded into c3_2
+        self.c3_0 = self.c1_0
+        self.c3_1 = self.c1_1
+        if plus:
+            c3_2 = -al[prev_ts] * ((np.exp(-h) - 1.0) / _safe(h) + 1.0)
+            c3_3 = al[prev_ts] * ((np.exp(-h) - 1.0 + h) / _safe(h) ** 2 - 0.5)
+        else:
+            c3_2 = sg[prev_ts] * ((np.exp(h) - 1.0) / _safe(h) - 1.0)
+            c3_3 = sg[prev_ts] * ((np.exp(h) - 1.0 - h) / _safe(h) ** 2 - 0.5)
+        self.c3_2 = c3_2.astype(np.float32)
+        self.c3_3 = c3_3.astype(np.float32)
+
+        # difference weights. s0 = ts[i], s1 = ts[i-1], s2 = ts[i-2]
+        # h   = lam[t_prev] - lam[s0]
+        # h_0 = lam[s0] - lam[s1], r0 = h_0/h  (needs 1 history entry)
+        # h_1 = lam[s1] - lam[s2], r1 = h_1/h  (needs 2 history entries)
         s1 = np.concatenate([[ts[0]], ts[:-1]])
+        s2 = np.concatenate([[ts[0], ts[0]], ts[:-2]])
         h0 = lam[ts] - lam[s1]
-        r0 = np.where(np.abs(h) > 0, h0 / np.where(h == 0, 1.0, h), 1.0)
-        r0 = np.where(r0 == 0, 1.0, r0)  # idx 0: no history
-        self.r0 = r0.astype(np.float32)
+        h1 = lam[s1] - lam[s2]
+        r0 = h0 / _safe(h)
+        r1 = h1 / _safe(h)
+        self.inv_r0 = _finite(1.0 / _safe(r0)).astype(np.float32)
+        self.inv_r1 = _finite(1.0 / _safe(r1)).astype(np.float32)
+        # D1 = D1_0 + (r0/(r0+r1)) (D1_0 - D1_1);  D2 = (D1_0-D1_1)/(r0+r1)
+        self.w01 = _finite(r0 / _safe(r0 + r1)).astype(np.float32)
+        self.inv_r01 = _finite(1.0 / _safe(r0 + r1)).astype(np.float32)
 
-        first = np.zeros(n, dtype=np.float32)
-        first[0] = 1.0
-        if self.solver_order == 1:
-            first[:] = 1.0
-        elif self.lower_order_final and n < 15:
-            first[-1] = 1.0
-        self.first_flag = first
+        # per-step order selection (one-hot), replicating the reference's
+        # lower_order_nums warmup + lower_order_final/second step-down
+        # (utilities.py:985-1001)
+        o1 = np.zeros(n, np.float32)
+        o2 = np.zeros(n, np.float32)
+        o3 = np.zeros(n, np.float32)
+        final_ladder = self.lower_order_final and n < 15
+        for i in range(n):
+            order = min(self.solver_order, i + 1)  # warmup ladder
+            if final_ladder:
+                if i == n - 1:
+                    order = 1
+                elif i == n - 2 and self.solver_order >= 3:
+                    order = min(order, 2)
+            (o1, o2, o3)[order - 1][i] = 1.0
+        self.o1, self.o2, self.o3 = o1, o2, o3
 
         self.alpha_s = al[ts].astype(np.float32)
         self.sigma_s = sg[ts].astype(np.float32)
@@ -81,33 +144,61 @@ class DPMSolverMultistepScheduler(Scheduler):
             "timestep": self.timesteps.astype(np.float32),
             "alpha_s": self.alpha_s,
             "sigma_s": self.sigma_s,
-            "c1_0": self.c1_0,
-            "c1_1": self.c1_1,
-            "c2_0": self.c2_0,
-            "c2_1": self.c2_1,
-            "c2_2": self.c2_2,
-            "r0": self.r0,
-            "first_flag": self.first_flag,
+            "c1_0": self.c1_0, "c1_1": self.c1_1,
+            "c2_0": self.c2_0, "c2_1": self.c2_1, "c2_2": self.c2_2,
+            "c3_0": self.c3_0, "c3_1": self.c3_1,
+            "c3_2": self.c3_2, "c3_3": self.c3_3,
+            "inv_r0": self.inv_r0, "inv_r1": self.inv_r1,
+            "w01": self.w01, "inv_r01": self.inv_r01,
+            "o1": self.o1, "o2": self.o2, "o3": self.o3,
         }
 
     def init_state(self, shape):
-        return {"m_prev": jnp.zeros(shape, jnp.float32)}
+        return {"m_prev": jnp.zeros(shape, jnp.float32),
+                "m_prev2": jnp.zeros(shape, jnp.float32)}
 
     def step(self, model_output, sample, row, state, noise=None):
-        # convert to data prediction (dpmsolver++)
-        if self.prediction_type == "epsilon":
-            x0 = (sample - row["sigma_s"] * model_output) / row["alpha_s"]
-        elif self.prediction_type == "v_prediction":
-            x0 = row["alpha_s"] * sample - row["sigma_s"] * model_output
+        # convert_model_output (utilities.py:811-853): ++ solves in data
+        # space (x0 prediction), non-++ in epsilon space
+        if self.algorithm_type == "dpmsolver++":
+            if self.prediction_type == "epsilon":
+                m0 = (sample - row["sigma_s"] * model_output) / row["alpha_s"]
+            elif self.prediction_type == "v_prediction":
+                m0 = row["alpha_s"] * sample - row["sigma_s"] * model_output
+            else:
+                raise ValueError(self.prediction_type)
         else:
-            raise ValueError(self.prediction_type)
+            if self.prediction_type == "epsilon":
+                m0 = model_output
+            elif self.prediction_type == "v_prediction":
+                m0 = (row["alpha_s"] * model_output
+                      + row["sigma_s"] * sample)
+            else:
+                raise ValueError(self.prediction_type)
 
-        d1 = (x0 - state["m_prev"]) / row["r0"]
-        x_first = row["c1_0"] * sample - row["c1_1"] * x0
-        x_second = (row["c2_0"] * sample - row["c2_1"] * x0 - row["c2_2"] * d1)
-        prev = row["first_flag"] * x_first + (1.0 - row["first_flag"]) * x_second
-        return prev, {"m_prev": x0}
+        d1_0 = (m0 - state["m_prev"]) * row["inv_r0"]
+        d1_1 = (state["m_prev"] - state["m_prev2"]) * row["inv_r1"]
+        d1_3 = d1_0 + row["w01"] * (d1_0 - d1_1)
+        d2 = (d1_0 - d1_1) * row["inv_r01"]
+
+        x1 = row["c1_0"] * sample - row["c1_1"] * m0
+        x2 = row["c2_0"] * sample - row["c2_1"] * m0 - row["c2_2"] * d1_0
+        x3 = (row["c3_0"] * sample - row["c3_1"] * m0
+              - row["c3_2"] * d1_3 - row["c3_3"] * d2)
+        prev = row["o1"] * x1 + row["o2"] * x2 + row["o3"] * x3
+        return prev, {"m_prev": m0, "m_prev2": state["m_prev"]}
 
     def add_noise(self, original, noise, idx: int):
         a = self._ac_by_idx[idx]
         return jnp.sqrt(a) * original + jnp.sqrt(1.0 - a) * noise
+
+
+def _safe(x):
+    """Replace zeros so unused table slots divide cleanly (the one-hot
+    order flags zero out any branch whose inputs were guarded)."""
+    x = np.asarray(x, np.float64)
+    return np.where(x == 0.0, 1.0, x)
+
+
+def _finite(x):
+    return np.where(np.isfinite(x), x, 0.0)

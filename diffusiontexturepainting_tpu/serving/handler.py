@@ -19,6 +19,11 @@ from .model_base import ConditionalInpainterBase, ensure_float01, float01_to_uin
 
 logger = logging.getLogger(__name__)
 
+# --profile-dir safety valve: max jax.profiler traces per process (each
+# trace costs request latency + disk; the flag is for short diagnostics).
+_PROFILE_TRACE_CAP = 32
+_profile_trace_count = 0
+
 
 def _debug_dump(debug_dir, tag, **arrays):
     """Dump request/response images for offline inspection (the reference
@@ -59,12 +64,22 @@ def handle_request_bytes(model, raw_message: bytes,
     profile_dir: when set, each request is wrapped in a jax.profiler trace
     written there (the analog of the reference's NVTX ranges around
     pipeline stages, stable_diffusion_pipeline.py:358-366; view in
-    TensorBoard/XProf or parse the perfetto json)."""
-    if profile_dir:
+    TensorBoard/XProf or parse the perfetto json). Tracing adds
+    substantial per-request overhead and ~10s of MB of disk per trace,
+    so it is a short-diagnostic-session tool: after
+    _PROFILE_TRACE_CAP traces the wrapper disables itself and serves
+    at full speed."""
+    global _profile_trace_count
+    if profile_dir and _profile_trace_count < _PROFILE_TRACE_CAP:
         import contextlib
 
         import jax
 
+        _profile_trace_count += 1
+        if _profile_trace_count == _PROFILE_TRACE_CAP:
+            logger.warning(
+                "profile_dir: trace cap (%d) reached - further requests "
+                "will not be traced", _PROFILE_TRACE_CAP)
         with contextlib.ExitStack() as stack:
             stack.enter_context(jax.profiler.trace(profile_dir))
             return handle_request_bytes(model, raw_message,

@@ -109,7 +109,7 @@ def run_main(argv=None):
                         help="trained weights exported by training/train.py "
                              "(seeded random weights when omitted)")
     parser.add_argument("--scheduler", type=str, default=None,
-                        choices=[None, "DDIM", "DPM", "DPM++", "EulerA",
+                        choices=["DDIM", "DPM", "DPM++", "EulerA",
                                  "LMS", "LMSD", "PNDM"],
                         help="sampler (default: pipeline config, DDIM)")
     parser.add_argument("--deep-cache-interval", type=int, default=None,
@@ -120,7 +120,9 @@ def run_main(argv=None):
                              "to compile at startup, e.g. '256x20,512x4' "
                              "(the analog of TRT optimization profiles)")
     parser.add_argument("--profile-dir", type=str, default=None,
-                        help="write a jax.profiler trace of every request "
+                        help="diagnostic only: adds per-request latency and "
+                             "disk per trace; auto-disables after 32 traces. "
+                             "Writes a jax.profiler trace of every request "
                              "here (the NVTX-ranges analog; open in "
                              "TensorBoard/XProf)")
     args = parser.parse_args(argv)

@@ -105,6 +105,12 @@ class AugmentedTextures:
         self.cond_patch_size = [size // int(math.isqrt(i)) for i in num_patches]
         self.files = find_images(images_path, num_images, skip_images,
                                  single_image)
+        # The data stream must be a pure function of (seed, batch index) so
+        # a resumed run replays the exact sequence (reference resume skips
+        # dataloader steps to the same effect, train...py:610-646; here the
+        # fast-forward is O(1)). A concrete seed is drawn once when the
+        # caller passed None.
+        self.seed = seed if seed is not None else _random.randrange(2**31)
         self.rng = _random.Random(seed)
         self.mask_generator = RandomMaskGenerator(
             size, prob_no_mask=prob_no_mask, prob_empty=prob_empty_mask,
@@ -124,6 +130,12 @@ class AugmentedTextures:
         return img
 
     def __getitem__(self, i: int) -> dict:
+        return self.sample(i, self.rng)
+
+    def sample(self, i: int, rng: _random.Random) -> dict:
+        """One sample drawn entirely from `rng` (mask generator included),
+        so identical (i, rng-seed) pairs produce identical samples."""
+        self.rng = rng
         img = Image.open(self.files[i]).convert("RGB")
         patch = self._augmented_patch(img)
         arr = _to_float(patch)  # (2S, 2S, 3)
@@ -149,7 +161,7 @@ class AugmentedTextures:
         else:
             cond = cond * 2.0 - 1.0
 
-        mask_known = self.mask_generator()  # white = known
+        mask_known = self.mask_generator(rng)  # white = known
         mask_generate = 1.0 - mask_known  # UNet convention (collate inversion)
         masked_image = gt * mask_known
         drop_cond = np.float32(self.rng.random() < self.cond_drop_prob)
@@ -163,23 +175,32 @@ class AugmentedTextures:
         }
 
     def batches(self, batch_size: int, steps: Optional[int] = None,
-                shuffle: bool = True) -> Iterator[dict]:
-        """Infinite (or `steps`-bounded) iterator of stacked NHWC batches."""
-        order = list(range(len(self.files)))
-        produced = 0
-        while steps is None or produced < steps:
+                shuffle: bool = True, start: int = 0) -> Iterator[dict]:
+        """Infinite (or `steps`-bounded) iterator of stacked NHWC batches.
+
+        The stream is a pure function of (self.seed, batch index): every
+        batch's shuffle order and per-sample RNG are derived from the
+        global batch counter, so `start=N` resumes the exact sequence the
+        original run saw from its N-th batch in O(1) — the TPU rebuild of
+        the reference's resume-time dataloader step skipping
+        (train_texture_inpaint_lora.py:610-632, 643-646), without paying
+        for the skipped batches.
+        """
+        n = len(self.files)
+        if n < batch_size:
+            raise ValueError(f"dataset ({n}) smaller than batch {batch_size}")
+        per_epoch = n // batch_size
+        b = start
+        while steps is None or b - start < steps:
+            epoch, k = divmod(b, per_epoch)
+            order = list(range(n))
             if shuffle:
-                self.rng.shuffle(order)
-            for start in range(0, len(order) - batch_size + 1, batch_size):
-                idxs = order[start : start + batch_size]
-                samples = [self[i] for i in idxs]
-                batch = {
-                    k: np.stack([smp[k] for smp in samples]) for k in samples[0]
-                }
-                yield batch
-                produced += 1
-                if steps is not None and produced >= steps:
-                    return
-            if len(order) < batch_size:
-                raise ValueError(
-                    f"dataset ({len(order)}) smaller than batch {batch_size}")
+                _random.Random(f"{self.seed}-epoch-{epoch}").shuffle(order)
+            idxs = order[k * batch_size : (k + 1) * batch_size]
+            samples = [
+                self.sample(i, _random.Random(f"{self.seed}-b{b}-s{j}"))
+                for j, i in enumerate(idxs)
+            ]
+            yield {k_: np.stack([smp[k_] for smp in samples])
+                   for k_ in samples[0]}
+            b += 1

@@ -104,8 +104,15 @@ class RandomMaskGenerator:
             self.image_width, self.num_stamps_range, flip_horiz=do_flip,
             transpose=do_transpose, rng=self.rng)
 
-    def __call__(self) -> np.ndarray:
-        """(W, W, 1) float32 mask; white = known, black = generate."""
+    def __call__(self, rng: _random.Random | None = None) -> np.ndarray:
+        """(W, W, 1) float32 mask; white = known, black = generate.
+
+        `rng` overrides the generator's own stream for this call —
+        deterministic per-batch data order (training/dataset.py batches)
+        derives one RNG per sample so a resumed run replays the exact
+        sequence without consuming the shared stream."""
+        if rng is not None:
+            self.rng = rng
         w = self.image_width
         if self._chance(self.prob_no_mask):
             return np.ones((w, w, 1), np.float32)

@@ -197,7 +197,10 @@ def main(argv=None):
     train_step = jax.jit(make_train_step(cfg, unet, vae_enc, patch_enc))
     rng = jax.random.PRNGKey(args.seed)
 
-    it = dataset.batches(args.train_batch_size)
+    # start= replays the exact batch sequence from the resume point
+    # (reference train...py:643-646 skips dataloader steps; here the data
+    # stream is a pure function of (seed, batch index) so this is O(1)).
+    it = dataset.batches(args.train_batch_size, start=start_step)
     t_last = time.time()
     with mesh:
         for step in range(start_step, args.max_train_steps):

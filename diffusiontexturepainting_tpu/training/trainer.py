@@ -172,15 +172,18 @@ def make_train_step(cfg: TrainConfig, unet, vae_encoder, patch_encoder):
     # conv (and its native AD). The serving pallas kernels' custom_vjp
     # re-derivation measured ~60x slower per step (ops/conv3x3.py
     # _FORCE_IMPL), and XLA's conv is strong at training batch sizes.
-    from ..ops.conv3x3 import set_conv_impl
+    # The override is consulted at trace time, so it is scoped to the
+    # step body: serving programs traced later in the same process keep
+    # their pallas kernels.
+    from ..ops.conv3x3 import conv_impl
 
-    set_conv_impl("xla")
     loss_fn = make_loss_fn(cfg, unet, vae_encoder, patch_encoder)
 
     def train_step(state: TrainState, frozen, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
-        loss, grads = jax.value_and_grad(loss_fn)(state.trainable, frozen,
-                                                  batch, rng)
+        with conv_impl("xla"):
+            loss, grads = jax.value_and_grad(loss_fn)(state.trainable,
+                                                      frozen, batch, rng)
         new_state = state.apply_gradients(grads)
         metrics = {"loss": loss,
                    "grad_norm": optax.global_norm(grads)}

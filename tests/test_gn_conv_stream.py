@@ -113,6 +113,27 @@ def test_fused_encode_matches_module(vae_setup):
                                atol=2e-4, rtol=2e-4)
 
 
+def test_fused_encode_matches_module_bf16(vae_setup):
+    """Characterize the serving dtype: the fused path derives each layer's
+    GroupNorm affine from stats of the previous conv's PRE-cast f32
+    output, while the module path computes stats on the bf16 tensor
+    upcast to f32 — a small systematic stats/data mismatch. This pins
+    the expected deviation under bf16 so it stays characterized
+    (ADVICE r1: vae.py fused-path stats source)."""
+    from diffusiontexturepainting_tpu.models.vae import fused_encode
+
+    cfg, _, _, img, _, pe, _ = vae_setup
+    from diffusiontexturepainting_tpu.models.vae import VAEEncoder
+
+    enc16 = VAEEncoder(cfg, dtype=jnp.bfloat16)
+    ref = enc16.apply({"params": pe}, img).astype(jnp.float32)
+    out = fused_encode(pe, img, cfg, jnp.bfloat16).astype(jnp.float32)
+    # bf16 has ~3 decimal digits; the stats-source mismatch adds a small
+    # systematic term on top. 5e-2 abs on unit-scale latents.
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-2, rtol=5e-2)
+
+
 def test_fused_decode_matches_module(vae_setup):
     from diffusiontexturepainting_tpu.models.vae import fused_decode
 

@@ -156,13 +156,32 @@ def test_brush_stroke_interpolation():
     stroke.end()
 
 
-def test_erase_mode():
+def test_erase_mode_clears_to_unpainted():
+    """Erase uses a circle stamp mask and CLEARS the texture under it —
+    erased texels revert to unpainted (reference manager.py:246-250,
+    267-270: texture = ~update_mask * texture)."""
     model = MockConditionalInpainter(32)
+    model.set_brush(np.full((32, 32, 3), 0.6, np.float32))
     mesh = quad_mesh()
     painter = TexturePainter(model, mesh, texture_width=32)
+    painter.model_settings["steps"] = 1
+
+    painter.stamp(hit=np.zeros(3), normal=np.array([0, 0, 1.0]), radius=0.8)
+    assert (painter.texture[..., 3] > 0).mean() > 0.5  # painted
+
     painter.mode = BrushMode.ERASE
     painter.stamp(hit=np.zeros(3), normal=np.array([0, 0, 1.0]), radius=0.8)
-    painted = painter.texture[..., 3] > 0.5
-    # erase paints white
-    center = painter.texture[12:20, 12:20, :3]
-    np.testing.assert_allclose(center, 1.0, atol=0.05)
+    # circle interior is erased: alpha AND rgb back to 0 (unpainted)
+    center = painter.texture[12:20, 12:20]
+    np.testing.assert_allclose(center, 0.0, atol=1e-6)
+    # corners of the square stamp lie outside the circle -> still painted
+    assert (painter.texture[..., 3] > 0).any()
+
+
+def test_erase_circle_mask_shape():
+    from diffusiontexturepainting_tpu.client.painter import circle_mask
+
+    m = circle_mask(32)
+    assert m.shape == (32, 32, 1)
+    assert m[16, 16, 0] == 1.0  # center inside
+    assert m[0, 0, 0] == 0.0  # corner outside

@@ -104,6 +104,122 @@ def test_dpmpp_2m_matches_oracle(n):
     np.testing.assert_allclose(ours, x_ref, rtol=2e-3, atol=2e-4)
 
 
+def _dpm_reference_oracle(x, n, solver_order, algorithm, solver_type,
+                          lower_order_final=True):
+    """Independent float64 transcription of the reference DPMScheduler's
+    full stepping logic (utilities.py:649-1008): convert_model_output,
+    the lower_order_nums warmup ladder, lower_order_final/second
+    step-downs, and the order-1/2/3 update equations."""
+    ac = _ac(0.00085, 0.012)
+    alpha, sigma = np.sqrt(ac), np.sqrt(1 - ac)
+    lam = np.log(alpha) - np.log(sigma)
+    ts = (np.linspace(0, N - 1, n + 1).round()[::-1][:-1]).astype(np.int64)
+    plus = algorithm == "dpmsolver++"
+
+    x_ref = x.astype(np.float64)
+    m = [None] * solver_order
+    lon = 0  # lower_order_nums
+    for i in range(n):
+        t = ts[i]
+        t_prev = 0 if i == n - 1 else ts[i + 1]
+        lof = (i == n - 1) and lower_order_final and n < 15
+        los = (i == n - 2) and lower_order_final and n < 15
+        eps = fake_model(x_ref, float(t))
+        out = (x_ref - sigma[t] * eps) / alpha[t] if plus else eps
+        m = m[1:] + [out]
+        h = lam[t_prev] - lam[t]
+        if solver_order == 1 or lon < 1 or lof:
+            if plus:
+                x_ref = (sigma[t_prev] / sigma[t]) * x_ref - alpha[t_prev] * (
+                    np.exp(-h) - 1.0) * out
+            else:
+                x_ref = (alpha[t_prev] / alpha[t]) * x_ref - sigma[t_prev] * (
+                    np.exp(h) - 1.0) * out
+        elif solver_order == 2 or lon < 2 or los:
+            h0 = lam[t] - lam[ts[i - 1]]
+            r0 = h0 / h
+            d0, d1 = m[-1], (1.0 / r0) * (m[-1] - m[-2])
+            if plus:
+                c0 = sigma[t_prev] / sigma[t]
+                c1 = alpha[t_prev] * (np.exp(-h) - 1.0)
+                if solver_type == "midpoint":
+                    x_ref = c0 * x_ref - c1 * d0 - 0.5 * c1 * d1
+                else:
+                    c2 = alpha[t_prev] * ((np.exp(-h) - 1.0) / h + 1.0)
+                    x_ref = c0 * x_ref - c1 * d0 + c2 * d1
+            else:
+                c0 = alpha[t_prev] / alpha[t]
+                c1 = sigma[t_prev] * (np.exp(h) - 1.0)
+                if solver_type == "midpoint":
+                    x_ref = c0 * x_ref - c1 * d0 - 0.5 * c1 * d1
+                else:
+                    c2 = sigma[t_prev] * ((np.exp(h) - 1.0) / h - 1.0)
+                    x_ref = c0 * x_ref - c1 * d0 - c2 * d1
+        else:
+            h0 = lam[t] - lam[ts[i - 1]]
+            h1 = lam[ts[i - 1]] - lam[ts[i - 2]]
+            r0, r1 = h0 / h, h1 / h
+            d0 = m[-1]
+            d1_0, d1_1 = (m[-1] - m[-2]) / r0, (m[-2] - m[-3]) / r1
+            d1 = d1_0 + (r0 / (r0 + r1)) * (d1_0 - d1_1)
+            d2 = (d1_0 - d1_1) / (r0 + r1)
+            if plus:
+                c0 = sigma[t_prev] / sigma[t]
+                c1 = alpha[t_prev] * (np.exp(-h) - 1.0)
+                c2 = alpha[t_prev] * ((np.exp(-h) - 1.0) / h + 1.0)
+                c3 = alpha[t_prev] * ((np.exp(-h) - 1.0 + h) / h**2 - 0.5)
+                x_ref = c0 * x_ref - c1 * d0 + c2 * d1 - c3 * d2
+            else:
+                c0 = alpha[t_prev] / alpha[t]
+                c1 = sigma[t_prev] * (np.exp(h) - 1.0)
+                c2 = sigma[t_prev] * ((np.exp(h) - 1.0) / h - 1.0)
+                c3 = sigma[t_prev] * ((np.exp(h) - 1.0 - h) / h**2 - 0.5)
+                x_ref = c0 * x_ref - c1 * d0 - c2 * d1 - c3 * d2
+        lon = min(lon + 1, solver_order)
+    return x_ref
+
+
+@pytest.mark.parametrize("n", [4, 6, 10, 20])
+@pytest.mark.parametrize("algorithm", ["dpmsolver++", "dpmsolver"])
+def test_dpm_order3_matches_oracle(n, algorithm):
+    sched = make_scheduler("DPM++", solver_order=3,
+                           algorithm_type=algorithm).set_timesteps(n)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((1, 4, 4, 2)).astype(np.float32)
+    x_ref = _dpm_reference_oracle(x, n, 3, algorithm, "midpoint")
+    ours = _run_ours(sched, x)
+    np.testing.assert_allclose(ours, x_ref, rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("solver_type", ["midpoint", "heun"])
+@pytest.mark.parametrize("algorithm", ["dpmsolver++", "dpmsolver"])
+@pytest.mark.parametrize("order", [1, 2])
+def test_dpm_variants_match_oracle(order, algorithm, solver_type):
+    n = 8
+    sched = make_scheduler("DPM++", solver_order=order,
+                           algorithm_type=algorithm,
+                           solver_type=solver_type).set_timesteps(n)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1, 4, 4, 2)).astype(np.float32)
+    x_ref = _dpm_reference_oracle(x, n, order, algorithm, solver_type)
+    ours = _run_ours(sched, x)
+    np.testing.assert_allclose(ours, x_ref, rtol=2e-3, atol=2e-4)
+
+
+def test_dpm_order3_warmup_ladder_flags():
+    """Order selection: 1 -> 2 -> 3 warmup, then 2 -> 1 step-down on the
+    final steps when n < 15 (reference utilities.py:985-1001)."""
+    sched = make_scheduler("DPM++", solver_order=3).set_timesteps(6)
+    rows = sched.scan_rows()
+    orders = (rows["o1"] + 2 * rows["o2"] + 3 * rows["o3"]).astype(int)
+    assert list(orders) == [1, 2, 3, 3, 2, 1]
+    # n >= 15: no final step-down
+    sched = make_scheduler("DPM++", solver_order=3).set_timesteps(16)
+    rows = sched.scan_rows()
+    orders = (rows["o1"] + 2 * rows["o2"] + 3 * rows["o3"]).astype(int)
+    assert list(orders) == [1, 2] + [3] * 14
+
+
 @pytest.mark.parametrize("n", [4, 10])
 def test_pndm_matches_oracle(n):
     sched = make_scheduler("PNDM").set_timesteps(n)

@@ -74,6 +74,27 @@ def test_dataset_batches(texture_dir):
     assert batches[0]["drop_cond"].shape == (2,)
 
 
+def test_dataset_resume_replays_exact_sequence(texture_dir):
+    """start=N must reproduce the original run's batches N.. exactly —
+    the rebuild of the reference's resume dataloader step skipping
+    (train_texture_inpaint_lora.py:610-632, 643-646), as an O(1)
+    fast-forward. Covers an epoch boundary (3 images / batch 2 ->
+    1 batch per epoch)."""
+    ds = AugmentedTextures(texture_dir, size=64, cond_size=32, seed=7)
+    full = list(ds.batches(batch_size=2, steps=5))
+
+    ds2 = AugmentedTextures(texture_dir, size=64, cond_size=32, seed=7)
+    resumed = list(ds2.batches(batch_size=2, steps=2, start=3))
+    for a, b in zip(full[3:], resumed):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+    # different seed -> different stream
+    ds3 = AugmentedTextures(texture_dir, size=64, cond_size=32, seed=8)
+    other = next(ds3.batches(batch_size=2, steps=1, start=3))
+    assert any(not np.array_equal(other[k], full[3][k]) for k in other)
+
+
 def test_smoke_train_checkpoint_resume_export(texture_dir, tmp_path):
     from diffusiontexturepainting_tpu.training.train import main
 
