@@ -309,6 +309,10 @@ class ResnetBlock(nn.Module):
     out_channels: int
     num_groups: int = 32
     use_temb: bool = True
+    # diffusers convention: UNet resnets use norm_eps=1e-5
+    # (UNet2DConditionModel default), the VAE's Encoder/Decoder hardcode
+    # resnet_eps=1e-6 - callers must pass the right one for parity.
+    eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -317,14 +321,14 @@ class ResnetBlock(nn.Module):
         # Conv3x3: pallas implicit-GEMM on TPU (ops/conv3x3.py), XLA conv
         # elsewhere; identical param tree to nn.Conv.
         conv = lambda name, ch: Conv3x3(ch, dtype=self.dtype, name=name)
-        h = GroupNorm32(self.num_groups, name="norm1")(x)
+        h = GroupNorm32(self.num_groups, eps=self.eps, name="norm1")(x)
         h = conv("conv1", self.out_channels)(nn.silu(h))
         if self.use_temb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          param_dtype=jnp.float32, name="time_emb_proj")(
                 nn.silu(temb))
             h = h + t[:, None, None, :]
-        h = GroupNorm32(self.num_groups, name="norm2")(h)
+        h = GroupNorm32(self.num_groups, eps=self.eps, name="norm2")(h)
         h = conv("conv2", self.out_channels)(nn.silu(h))
         if in_ch != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,

@@ -29,7 +29,7 @@ class _MidBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = ResnetBlock(self.channels, self.num_groups, use_temb=False,
-                        dtype=self.dtype, name="resnet_0")(x)
+                        eps=1e-6, dtype=self.dtype, name="resnet_0")(x)
         b, h, w, c = x.shape
         a = GroupNorm32(self.num_groups, eps=1e-6, name="attn_norm")(x)
         a = a.reshape(b, h * w, c)
@@ -37,7 +37,7 @@ class _MidBlock(nn.Module):
                       dtype=self.dtype, name="attn")(a)
         x = x + a.reshape(b, h, w, c)
         x = ResnetBlock(self.channels, self.num_groups, use_temb=False,
-                        dtype=self.dtype, name="resnet_1")(x)
+                        eps=1e-6, dtype=self.dtype, name="resnet_1")(x)
         return x
 
 
@@ -55,7 +55,7 @@ class VAEEncoder(nn.Module):
                     dtype=self.dtype, param_dtype=jnp.float32, name="conv_in")(x)
         for i, ch in enumerate(cfg.block_out_channels):
             for j in range(cfg.layers_per_block):
-                h = ResnetBlock(ch, cfg.norm_num_groups, use_temb=False,
+                h = ResnetBlock(ch, cfg.norm_num_groups, use_temb=False, eps=1e-6,
                                 dtype=self.dtype, name=f"down_{i}_resnet_{j}")(h)
             if i < len(cfg.block_out_channels) - 1:
                 h = Downsample(ch, asymmetric_pad=True, dtype=self.dtype,
@@ -133,7 +133,7 @@ def _dense1x1(x, p, dtype):
     return (y + p["bias"].astype(jnp.float32)).astype(dtype)
 
 
-def _fused_resnet(p, h, stats, num_groups, dtype, eps=1e-5):
+def _fused_resnet(p, h, stats, num_groups, dtype, eps=1e-6):
     """One ResnetBlock (no temb) as two fused kernels; returns
     (out, out_stats)."""
     from ..ops.gn_conv_stream import gn_affine_from_stats, gn_conv_stream
@@ -259,7 +259,7 @@ class VAEDecoder(nn.Module):
         rev = tuple(reversed(cfg.block_out_channels))
         for i, ch in enumerate(rev):
             for j in range(cfg.layers_per_block + 1):
-                h = ResnetBlock(ch, cfg.norm_num_groups, use_temb=False,
+                h = ResnetBlock(ch, cfg.norm_num_groups, use_temb=False, eps=1e-6,
                                 dtype=self.dtype, name=f"up_{i}_resnet_{j}")(h)
             if i < len(rev) - 1:
                 h = Upsample(ch, dtype=self.dtype, name=f"up_{i}_upsample")(h)

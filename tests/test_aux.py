@@ -1,6 +1,8 @@
 """Auxiliary subsystem tests: async save, brush history, settings,
 profiling table, checkerboard, txt2img offline fallback, param hot-swap."""
 
+import pytest
+
 import os
 
 import numpy as np
@@ -15,6 +17,10 @@ from diffusiontexturepainting_tpu.utils.async_save import (
 )
 from diffusiontexturepainting_tpu.utils.profiling import StageTimer, percentile_stats
 from diffusiontexturepainting_tpu.utils.textures import blank, checkerboard
+
+
+# compile-heavy: full-size models / whole-pipeline jit on CPU
+pytestmark = pytest.mark.slow
 
 
 def test_async_saves(tmp_path):

@@ -26,6 +26,10 @@ from diffusiontexturepainting_tpu.weights import convert
 from diffusiontexturepainting_tpu.weights.loader import flatten_params
 
 
+# compile-heavy: full-size models / whole-pipeline jit on CPU
+pytestmark = pytest.mark.slow
+
+
 def _inverse_unet_state_dict(params):
     """Build the diffusers-style state_dict that would convert to exactly
     `params` (inverse of convert_unet's transforms)."""

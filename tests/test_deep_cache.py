@@ -14,6 +14,10 @@ from diffusiontexturepainting_tpu.models.unet import UNet2DCondition
 from diffusiontexturepainting_tpu.pipeline.tpu_model import TPUConditionalInpainter
 
 
+# compile-heavy: full-size models / whole-pipeline jit on CPU
+pytestmark = pytest.mark.slow
+
+
 def test_forward_shallow_uses_cache():
     cfg = tiny_unet_config()
     unet = UNet2DCondition(cfg)

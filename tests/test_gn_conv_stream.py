@@ -16,6 +16,10 @@ from diffusiontexturepainting_tpu.ops.gn_conv_stream import (
 )
 
 
+# compile-heavy: full-size models / whole-pipeline jit on CPU
+pytestmark = pytest.mark.slow
+
+
 def _rand(shape, seed, scale=1.0):
     return jnp.asarray(
         np.random.default_rng(seed).standard_normal(shape) * scale,

@@ -28,6 +28,10 @@ from diffusiontexturepainting_tpu.models.vae import (
 )
 
 
+# compile-heavy: full-size models / whole-pipeline jit on CPU
+pytestmark = pytest.mark.slow
+
+
 def test_unet_shapes():
     cfg = tiny_unet_config()
     model = UNet2DCondition(cfg)

@@ -15,6 +15,10 @@ from diffusiontexturepainting_tpu.parallel.mesh import (
 )
 
 
+# compile-heavy: full-size models / whole-pipeline jit on CPU
+pytestmark = pytest.mark.slow
+
+
 def test_make_mesh_shapes():
     mesh = make_mesh()
     assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1

@@ -10,6 +10,10 @@ import pytest
 from diffusiontexturepainting_tpu.pipeline.tpu_model import TPUConditionalInpainter
 
 
+# compile-heavy: full-size models / whole-pipeline jit on CPU
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def model():
     return TPUConditionalInpainter(resolution=64, tiny=True, warmup=False,

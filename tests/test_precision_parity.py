@@ -8,6 +8,10 @@ import pytest
 from diffusiontexturepainting_tpu.pipeline.tpu_model import TPUConditionalInpainter
 
 
+# compile-heavy: full-size models / whole-pipeline jit on CPU
+pytestmark = pytest.mark.slow
+
+
 def _make(dtype_name):
     import jax.numpy as jnp
 

@@ -19,6 +19,10 @@ import tornado.netutil
 from diffusiontexturepainting_tpu.serving.run import create_server
 
 
+# compile-heavy: full-size models / whole-pipeline jit on CPU
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def tpu_server():
     from diffusiontexturepainting_tpu.pipeline.tpu_model import (

@@ -14,6 +14,10 @@ from diffusiontexturepainting_tpu.training.mask_generator import (
 )
 
 
+# compile-heavy: full-size models / whole-pipeline jit on CPU
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def texture_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("textures")
