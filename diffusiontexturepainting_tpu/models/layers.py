@@ -187,11 +187,15 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None):
+    def __call__(self, x, context=None, batch=None):
         inner = self.num_heads * self.head_dim
         # 4D NHWC input (see Transformer2D _T2D_4D): project in 4D, flatten
-        # only around the attention math itself.
+        # only around the attention math itself. 2D (B*L, C) input (see
+        # _T2D_2D) requires `batch` to split back for the softmax.
         spatial = x.shape[1:-1] if x.ndim == 4 else None
+        flat2d = x.ndim == 2
+        if flat2d and batch is None:
+            raise ValueError("2D attention input needs batch=")
         ctx = x if context is None else context
         # Param tree matches nn.Dense (to_q/kernel etc.) but the q/k/v
         # projections run as ONE matmul on the concatenated weights when
@@ -223,9 +227,16 @@ class Attention(nn.Module):
             q = flat(q)
             if k.ndim == 4:
                 k, v = flat(k), flat(v)
+        if flat2d:
+            q = q.reshape(batch, -1, inner)
+            if k.ndim == 2:
+                k = k.reshape(batch, -1, inner)
+                v = v.reshape(batch, -1, inner)
         out = attention(q, k, v, self.num_heads)
         if spatial is not None:
             out = out.reshape((out.shape[0],) + spatial + (out.shape[-1],))
+        if flat2d:
+            out = out.reshape(-1, inner)
         return nn.Dense(x.shape[-1], use_bias=self.out_bias, dtype=self.dtype,
                         param_dtype=jnp.float32, name="to_out")(out)
 
@@ -286,16 +297,26 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None):
+        batch = None
+        orig_shape = None
+        if _T2D_2D and x.ndim == 3:
+            # pointwise ops (LN / projections / FF) on (B*L, C); only the
+            # attention math sees (B, L, C) - see the _T2D_2D note above
+            batch = x.shape[0]
+            orig_shape = x.shape
+            x = x.reshape(-1, x.shape[-1])
         h = LayerNorm32(name="norm1")(x)
         x = x + Attention(self.num_heads, self.head_dim, qkv_bias=self.qkv_bias,
-                          dtype=self.dtype, name="attn1")(h)
+                          dtype=self.dtype, name="attn1")(h, batch=batch)
         h = LayerNorm32(name="norm2")(x)
         x = x + Attention(self.num_heads, self.head_dim, kv_dim=self.kv_dim,
                           qkv_bias=self.qkv_bias, dtype=self.dtype,
-                          name="attn2")(h, context)
+                          name="attn2")(h, context, batch=batch)
         h = LayerNorm32(name="norm3")(x)
         x = x + FeedForward(activation=self.ff_activation, dtype=self.dtype,
                             name="ff")(h)
+        if orig_shape is not None:
+            x = x.reshape(orig_shape)
         return x
 
 
@@ -380,6 +401,18 @@ class Upsample(nn.Module):
 # cost more than the token-minor {1,2,0} FF layouts they were meant to
 # avoid; XLA's layout choice for the 3D form is already sound.
 _T2D_4D = False
+
+# Second layout experiment - negative result, kept measurable: run every
+# POINTWISE op of the transformer blocks (LayerNorms, q/kv projections,
+# FF) on a 2D (B*L, C) tensor, splitting back to (B, L, C) only around
+# the attention math. Motivation was the 3D FF dots landing in
+# token-minor {1,2,0} layouts at ~38 TF/s; measured 32.27 vs 31.36
+# ms/UNet-step (within-session A/B on v5e, tools/bench_t2d_layout.py) -
+# XLA re-inserts the layout transitions around the attention reshapes,
+# so collapsing the batch dim buys nothing. Together with the 4D
+# experiment above: XLA's token-minor FF layout choice for this program
+# is deliberate and sound; do not revisit without a fused-FF kernel.
+_T2D_2D = False
 
 
 class Transformer2D(nn.Module):

@@ -215,8 +215,7 @@ def fused_encode(params, images, cfg: VAEConfig = VAEConfig(),
 def fused_decode(params, latents, cfg: VAEConfig = VAEConfig(),
                  dtype=jnp.bfloat16):
     """Fused-kernel equivalent of VAEDecoder.apply (same params/output)."""
-    from ..ops.conv3x3 import upsample2x_conv3x3
-    from ..ops.gn_conv_stream import stats_of
+    from ..ops.gn_conv_stream import stats_of, upconv_stream
 
     p = params
     g = cfg.norm_num_groups
@@ -230,11 +229,14 @@ def fused_decode(params, latents, cfg: VAEConfig = VAEConfig(),
             h, stats = _fused_resnet(p[f"up_{i}_resnet_{j}"], h, stats, g,
                                      dtype)
         if i < len(rev) - 1:
+            # streamed subpixel upsample-conv with stats epilogue: the
+            # large upsamples used to fall back to an XLA conv over a 4x
+            # materialized upsample + a separate stats pass
             up = p[f"up_{i}_upsample"]["conv"]
-            h = upsample2x_conv3x3(h.astype(dtype),
-                                   up["kernel"].astype(dtype),
-                                   up["bias"].astype(dtype))
-            stats = stats_of(h)
+            h, up_stats = upconv_stream(h.astype(dtype),
+                                        up["kernel"].astype(dtype),
+                                        up["bias"].astype(dtype))
+            stats = up_stats if up_stats is not None else stats_of(h)
     h = _fused_norm_silu_conv(p["conv_norm_out"], p["conv_out"], h, stats, g,
                               dtype)
     return h.astype(jnp.float32)

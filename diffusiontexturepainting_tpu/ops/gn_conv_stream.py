@@ -116,6 +116,16 @@ def shift_stats_for_temb(stats, temb, n_spatial: int):
 # ---------------------------------------------------------------------------
 
 
+def _prologue_rows(Wp: int, Cin: int, budget: int = 2 * 1024 * 1024) -> int:
+    """Row-chunk size for the f32 prologue temporaries. Rows are the
+    MAJOR dim of the (rows, Wp, Cin) chunk - shrinking it costs no
+    vector-lane efficiency, it just bounds the f32 scratch at wide
+    shapes (W 256/512 at Cin 256-512 made the fixed 8-row chunk alone
+    exceed the VMEM budget, forcing the whole kernel off to XLA)."""
+    per_row = Wp * Cin * (4 + 4 + 2)  # f32 chunk + silu temp + bf16 store
+    return max(1, min(8, budget // max(per_row, 1)))
+
+
 def _kernel(x_hbm, a_ref, c_ref, w_ref, b_ref, *rest,
             H, W, H_T, Wp, Cin, N_T, has_res, want_stats, apply_gn):
     if has_res and want_stats:
@@ -158,8 +168,9 @@ def _kernel(x_hbm, a_ref, c_ref, w_ref, b_ref, *rest,
     if apply_gn:
         a = a_ref[0, 0, :].astype(jnp.float32)
         c0 = c_ref[0, 0, :].astype(jnp.float32)
-    for h0 in range(0, H_T + 2, 8):
-        rows = min(8, H_T + 2 - h0)
+    chunk_rows = _prologue_rows(Wp, Cin)
+    for h0 in range(0, H_T + 2, chunk_rows):
+        rows = min(chunk_rows, H_T + 2 - h0)
         chunk = xwin[slot, h0:h0 + rows, :, :].astype(jnp.float32)
         if apply_gn:
             chunk = chunk * a[None, None, :] + c0[None, None, :]
@@ -220,7 +231,8 @@ def stream_fused_plan(x_shape, w_shape, itemsize: int = 2):
         if H % ht:
             continue
         win = (ht + 2) * Wp * Cin * itemsize   # DMA window / in-place scratch
-        tmp = 8 * Wp * Cin * (4 + 4 + itemsize)  # f32 chunk temporaries
+        # f32 chunk temporaries: the row-chunk adapts to wide shapes
+        tmp = _prologue_rows(Wp, Cin) * Wp * Cin * (4 + 4 + itemsize)
         for nt in nts:
             accb = ht * W * nt * 4                  # f32 tap accumulator
             outb = ht * W * nt * itemsize * 2       # double-buffered out
@@ -376,3 +388,183 @@ def _bwd(want_stats, apply_gn, force, res, g):
 
 
 gn_conv_stream.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Streaming subpixel nearest-2x-upsample + 3x3 conv with stats epilogue.
+#
+# The decoder's two large upsamples (128^2 x 512 -> 256^2, 256^2 x 256 ->
+# 512^2) exceed every VMEM-resident plan, so fused_decode used to fall
+# back to XLA conv over a 4x materialized upsample - the dominant cost of
+# the fused path (profiled ~31 ms/iter of XLA "fusion" in a 49 ms
+# decode). This kernel streams (H_T+2)-row windows of the SOURCE image
+# and computes the four parity planes with folded 2x2 taps (see
+# ops/conv3x3.py _fold_upsample_weights: conv3x3(nearest2x(x)) == four
+# 2x2-tap convs, 2.25x fewer FLOPs, no upsampled materialization),
+# emitting the (sum, sumsq) of its own output so the next layer's
+# GroupNorm needs no extra pass.
+# ---------------------------------------------------------------------------
+
+
+def _upconv_stream_kernel(x_hbm, w_ref, b_ref, out_ref, st_ref, xwin, sem,
+                          *, H_T, W, Cin, N_T, want_stats):
+    bb = pl.program_id(0)
+    hi = pl.program_id(2)
+    num_h = pl.num_programs(2)
+    slot = jax.lax.rem(hi, 2)
+
+    def get_dma(s, h):
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(pl.multiple_of(h * H_T, H_T), H_T + 2)],
+            xwin.at[s], sem.at[s])
+
+    @pl.when(hi == 0)
+    def _first():
+        get_dma(0, 0).start()
+
+    @pl.when(hi + 1 < num_h)
+    def _prefetch():
+        get_dma(1 - slot, hi + 1).start()
+
+    get_dma(slot, hi).wait()
+
+    if want_stats:
+        @pl.when(hi == 0)
+        def _zero():
+            st_ref[...] = jnp.zeros_like(st_ref)
+
+    bias = b_ref[0].astype(jnp.float32)[None]
+    s1 = jnp.zeros((1, N_T), jnp.float32)
+    s2 = jnp.zeros((1, N_T), jnp.float32)
+    for ry in (0, 1):
+        for rx in (0, 1):
+            acc = None
+            for ai in (0, 1):
+                for bi in (0, 1):
+                    k = ((ry * 2 + rx) * 2 + ai) * 2 + bi
+                    slab = xwin[slot, pl.ds(ry + ai, H_T), pl.ds(rx + bi, W), :]
+                    d = jnp.dot(slab.reshape(H_T * W, Cin), w_ref[k],
+                                preferred_element_type=jnp.float32)
+                    acc = d if acc is None else acc + d
+            y = acc + bias
+            if want_stats:
+                s1 = s1 + jnp.sum(y, axis=0)[None]
+                s2 = s2 + jnp.sum(y * y, axis=0)[None]
+            out_ref[0, ry, rx] = y.reshape(H_T, W, N_T).astype(out_ref.dtype)
+    if want_stats:
+        st_ref[0, 0:1, :] += s1
+        st_ref[0, 1:2, :] += s2
+
+
+def upconv_stream_plan(x_shape, w_shape, itemsize: int = 2):
+    if len(x_shape) != 4 or len(w_shape) != 4:
+        return None
+    B, H, W, Cin = x_shape
+    kh, kw, wcin, Cout = w_shape
+    if (kh, kw) != (3, 3) or wcin != Cin:
+        return None
+    if H < 8 or W < 8 or Cin < 16 or Cout < 128:
+        return None
+    nts = [nt for nt in (512, 256, 128)
+           if Cout % nt == 0 and 16 * Cin * nt * itemsize * 2
+           <= 6 * 1024 * 1024]
+    if not nts:
+        return None
+    wpad = (-(W + 2)) % 8
+    Wp = W + 2 + wpad
+    for ht in (32, 16, 8):
+        if H % ht:
+            continue
+        win = 2 * (ht + 2) * Wp * Cin * itemsize  # double-buffered window
+        for nt in nts:
+            wb = 16 * Cin * nt * itemsize * 2
+            accb = ht * W * nt * 4
+            outb = 4 * ht * W * nt * itemsize * 2
+            if win + wb + accb + outb <= 13 * 1024 * 1024:
+                return ht, nt
+    return None
+
+
+def _upconv_stream_pallas(x, w, b, want_stats, plan, interpret=False):
+    from .conv3x3 import _fold_upsample_weights
+
+    B, H, W, Cin = x.shape
+    Cout = w.shape[-1]
+    H_T, N_T = plan
+    wpad = (-(W + 2)) % 8
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + wpad), (0, 0)))
+    Wp = W + 2 + wpad
+    w16 = _fold_upsample_weights(w)
+    b2 = (b if b is not None else jnp.zeros((Cout,), x.dtype)).reshape(1, Cout)
+    kernel = functools.partial(_upconv_stream_kernel, H_T=H_T, W=W, Cin=Cin,
+                               N_T=N_T, want_stats=want_stats)
+    planes, stats = pl.pallas_call(
+        kernel,
+        grid=(B, Cout // N_T, H // H_T),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((16, Cin, N_T), lambda bb, n, h: (0, 0, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_T), lambda bb, n, h: (0, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 2, 2, H_T, W, N_T),
+                         lambda bb, n, h: (bb, 0, 0, h, 0, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _STATS_ROWS, N_T), lambda bb, n, h: (bb, 0, n),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 2, 2, H, W, Cout), x.dtype),
+            jax.ShapeDtypeStruct((B, _STATS_ROWS, Cout), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, H_T + 2, Wp, Cin), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * W * Cin * Cout * 16,
+            bytes_accessed=(xp.size + w16.size + 4 * B * H * W * Cout)
+            * x.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(xp, w16, b2)
+    out = jnp.transpose(planes, (0, 3, 1, 4, 2, 5)).reshape(
+        B, 2 * H, 2 * W, Cout)
+    return out, (stats if want_stats else None)
+
+
+def _upconv_stream_reference(x, w, b, want_stats):
+    up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    y = lax.conv_general_dilated(
+        up, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    stats = None
+    if want_stats:
+        s1 = jnp.sum(y, axis=(1, 2))
+        s2 = jnp.sum(jnp.square(y), axis=(1, 2))
+        zeros = jnp.zeros((x.shape[0], _STATS_ROWS - 2, y.shape[-1]),
+                          jnp.float32)
+        stats = jnp.concatenate([s1[:, None], s2[:, None], zeros], axis=1)
+    return y.astype(x.dtype), stats
+
+
+def upconv_stream(x, w, b, want_stats=True, force="auto"):
+    """nearest-2x upsample + 3x3 SAME conv, streamed, returning
+    (out (B,2H,2W,Cout), stats-or-None). Serving-only (no VJP - the
+    fused decode path never differentiates)."""
+    if force != "xla":
+        plan = upconv_stream_plan(x.shape, w.shape, x.dtype.itemsize)
+        backend = jax.default_backend()
+        if force == "pallas":
+            if plan is None:
+                raise ValueError(
+                    f"upconv_stream unsupported for {x.shape} x {w.shape}")
+            return _upconv_stream_pallas(x, w, b, want_stats, plan,
+                                         interpret=(backend != "tpu"))
+        if plan is not None and backend == "tpu":
+            return _upconv_stream_pallas(x, w, b, want_stats, plan)
+    return _upconv_stream_reference(x, w, b, want_stats)

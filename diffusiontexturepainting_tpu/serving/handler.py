@@ -122,13 +122,61 @@ def handle_request_bytes(model, raw_message: bytes,
     raise NotImplementedError(f"Unknown binary request type {meta['type']}")
 
 
+async def handle_request_bytes_async(model, raw_message: bytes,
+                                     debug_dir: str | None = None) -> bytes:
+    """Async twin of handle_request_bytes for session models that expose
+    awaitable generation (serving/parallel_model.py SessionModel): stamps
+    from concurrent websocket sessions micro-batch onto the device mesh
+    while the IOLoop stays free."""
+    from . import native_io
+
+    (msg_type,) = np.frombuffer(raw_message[:1], np.uint8)
+    if msg_type == server_io.RequestType.NEW_BRUSH_PROMPT.value:
+        _, settings, offset = server_io.decode_request_metadata(raw_message)
+        prompt = server_io.decode_prompt_payload(raw_message, offset)
+        from ..client.nvcf_txt2img import brush_from_prompt
+
+        brush = brush_from_prompt(prompt, size=model.resolution())
+        model.set_brush(ensure_float01(brush))
+        _debug_dump(debug_dir, "brush_prompt", brush=brush)
+        return await _brush_preview_reply_async(model, settings)
+
+    meta, settings, image = native_io.decode_request(raw_message)
+    if meta["type"] == server_io.RequestType.NEW_BRUSH_IMAGE.value:
+        model.set_brush(ensure_float01(image[..., :3]))
+        _debug_dump(debug_dir, "brush", brush=image)
+        return await _brush_preview_reply_async(model, settings)
+    if meta["type"] == server_io.RequestType.NEW_STAMP.value:
+        result_u8 = await model.generate_u8_async(image, **settings)
+        _debug_dump(debug_dir, "stamp", canvas=image, result=result_u8)
+        return server_io.encode_generated_response(
+            server_io.RequestType.RETURN_STAMP, result_u8)
+    raise NotImplementedError(f"Unknown binary request type {meta['type']}")
+
+
+async def _brush_preview_reply_async(model, settings):
+    res = model.resolution()
+    brush_sq = getattr(model, "image", None)
+    if brush_sq is None:
+        brush_sq = np.zeros((res, res, 3), np.float32)
+    context = model.create_preview_brush_context(brush_sq)
+    result = await model.generate_async(context, **settings)
+    return server_io.encode_generated_response(
+        server_io.RequestType.RETURN_PREVIEW, float01_to_uint8(result))
+
+
 class InpaintWebSocketHandler(WebSocketHandler):
     """Handles websocket communication with the painting client."""
 
-    def initialize(self, model: ConditionalInpainterBase, model_info_str: str = "",
+    def initialize(self, model: ConditionalInpainterBase = None,
+                   model_info_str: str = "",
                    debug_dir: str | None = None,
-                   profile_dir: str | None = None):
-        self.model = model
+                   profile_dir: str | None = None,
+                   service=None):
+        # service: a ParallelInpainterService - each connection gets its
+        # own session (brush state) over the shared device mesh
+        self.service = service
+        self.model = service.new_session() if service is not None else model
         self.model_info_str = model_info_str
         self.debug_dir = debug_dir
         self.profile_dir = profile_dir
@@ -136,19 +184,23 @@ class InpaintWebSocketHandler(WebSocketHandler):
     def open(self):
         logger.debug("Socket opened.")
 
-    def on_message(self, message):
+    async def on_message(self, message):
         try:
             if isinstance(message, bytes):
-                self._handle_binary_request(message)
+                await self._handle_binary_request(message)
             else:
                 self._handle_json_request(message)
         except Exception as e:  # noqa: BLE001 - protocol errors must not kill the loop
             logger.exception("Failed to handle incoming message: %s", e)
 
-    def _handle_binary_request(self, raw_message: bytes):
-        reply = handle_request_bytes(self.model, raw_message,
-                                     debug_dir=self.debug_dir,
-                                     profile_dir=self.profile_dir)
+    async def _handle_binary_request(self, raw_message: bytes):
+        if hasattr(self.model, "generate_u8_async"):
+            reply = await handle_request_bytes_async(
+                self.model, raw_message, debug_dir=self.debug_dir)
+        else:
+            reply = handle_request_bytes(self.model, raw_message,
+                                         debug_dir=self.debug_dir,
+                                         profile_dir=self.profile_dir)
         self.write_message(reply, binary=True)
 
     def _handle_json_request(self, raw_message: str):

@@ -1,0 +1,250 @@
+"""Multi-chip request-parallel serving (the product surface).
+
+The reference serves exactly one GPU per process (trt_model.py:28
+`device=0`; the Kit app's `gpu_id` setting selects which one,
+extension.toml:68). A TPU pod slice serving many painting sessions can
+do better: stamps from CONCURRENT websocket sessions are micro-batched,
+sharded over the mesh's 'data' axis, and executed as one SPMD program
+(parallel/serving.py ParallelStampEngine). One artist's latency is
+unchanged - a lone request still dispatches immediately after
+`window_ms` - while N artists get N-chip throughput.
+
+Pieces:
+  ParallelInpainterService  - owns params + engine + brush encoder,
+                              groups requests by (resolution, steps)
+  SessionModel              - per-websocket-connection view: its own
+                              brush (cond/uncond), async generate
+  _BatchDispatcher          - asyncio micro-batcher (collect -> pad ->
+                              run in executor -> scatter results)
+
+serving/run.py exposes this as `--mesh data=N`; handler.py routes
+stamps through the async path when the model provides one.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Tuple
+
+import numpy as np
+
+import jax
+
+from ..serving.model_base import (
+    crop_resize_square,
+    ensure_float01,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class _BatchDispatcher:
+    """Micro-batches submissions keyed by operating point.
+
+    A request waits at most `window_ms` for peers; a full batch
+    (mesh data size) flushes immediately. The batch is padded by
+    repeating the last entry so the SPMD program always sees a
+    multiple of the data axis.
+    """
+
+    def __init__(self, run_batch, batch_size: int, window_ms: float = 3.0):
+        self._run_batch = run_batch  # (key, list_of_payloads) -> list results
+        self.batch_size = batch_size
+        self.window_ms = window_ms
+        self._queues: Dict[Tuple, list] = {}
+        self._timers: Dict[Tuple, object] = {}
+        self._executor = ThreadPoolExecutor(max_workers=1)  # device is serial
+
+    async def submit(self, key: Tuple, payload) -> object:
+        loop = asyncio.get_event_loop()
+        fut = loop.create_future()
+        q = self._queues.setdefault(key, [])
+        q.append((payload, fut))
+        if len(q) >= self.batch_size:
+            self._cancel_timer(key)
+            await self._flush(key)
+        elif key not in self._timers:
+            self._timers[key] = loop.call_later(
+                self.window_ms / 1000.0,
+                lambda: asyncio.ensure_future(self._flush(key)))
+        return await fut
+
+    def _cancel_timer(self, key):
+        t = self._timers.pop(key, None)
+        if t is not None:
+            t.cancel()
+
+    async def _flush(self, key):
+        self._timers.pop(key, None)
+        q = self._queues.get(key, [])
+        if not q:
+            return
+        batch, self._queues[key] = q[: self.batch_size], q[self.batch_size:]
+        if self._queues[key]:  # immediately reschedule the remainder
+            loop = asyncio.get_event_loop()
+            self._timers[key] = loop.call_later(
+                0.0, lambda: asyncio.ensure_future(self._flush(key)))
+        payloads = [p for p, _ in batch]
+        loop = asyncio.get_event_loop()
+        try:
+            results = await loop.run_in_executor(
+                self._executor, self._run_batch, key, payloads)
+            for (_, fut), res in zip(batch, results):
+                if not fut.done():
+                    fut.set_result(res)
+        except Exception as e:  # noqa: BLE001 - propagate to every waiter
+            for _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(e)
+
+
+class SessionModel:
+    """One websocket connection's view of the shared service: its own
+    brush embedding, the shared mesh underneath. Implements the model
+    surface handler.py uses (set_brush / resolution /
+    create_preview_brush_context / async generate)."""
+
+    def __init__(self, service: "ParallelInpainterService"):
+        self.service = service
+        base = service.base
+        self.image = base.image
+        self._cond, self._uncond = base._cond, base._uncond
+
+    def resolution(self) -> int:
+        return self.service.base.resolution()
+
+    def set_brush(self, image: np.ndarray) -> None:
+        base = self.service.base
+        image = ensure_float01(image)[..., :3]
+        self.image = crop_resize_square(
+            image, self.resolution()).astype(np.float32)
+        cond, uncond = base._encode_brush(
+            base.params["patch_encoder"], np.asarray(self.image)[None])
+        self._cond, self._uncond = cond, uncond
+
+    def create_preview_brush_context(self, brush_image):
+        from .model_base import ConditionalInpainterBase
+
+        return ConditionalInpainterBase.create_preview_brush_context(
+            self, brush_image)
+
+    async def generate_u8_async(self, canvas_u8: np.ndarray,
+                                **settings) -> np.ndarray:
+        return await self.service.submit(self, canvas_u8, settings)
+
+    async def generate_async(self, canvas: np.ndarray,
+                             **settings) -> np.ndarray:
+        canvas_u8 = (np.clip(ensure_float01(canvas), 0, 1)
+                     * 255).astype(np.uint8)
+        out = await self.generate_u8_async(canvas_u8, **settings)
+        return out.astype(np.float32) / 255.0
+
+
+class ParallelInpainterService:
+    """Shared multi-chip serving state. `base` is a regular
+    TPUConditionalInpainter (params, jitted brush encoder, configs);
+    stamps run through a ParallelStampEngine on `mesh` instead of the
+    base's single-chip engine."""
+
+    def __init__(self, base, mesh, window_ms: float = 3.0,
+                 max_batch: int | None = None):
+        from ..parallel.serving import ParallelStampEngine
+
+        self.base = base
+        self.mesh = mesh
+        self.data_size = int(mesh.shape["data"])
+        self.engine = ParallelStampEngine(
+            base.engine.models, base.config.scheduler, mesh)
+        self.dispatcher = _BatchDispatcher(
+            self._run_batch, max_batch or self.data_size, window_ms)
+        self._counter = 0
+
+    def new_session(self) -> SessionModel:
+        return SessionModel(self)
+
+    async def submit(self, session: SessionModel, canvas_u8, settings):
+        canvas_u8 = np.asarray(canvas_u8)
+        if canvas_u8.dtype != np.uint8:
+            canvas_u8 = (np.clip(canvas_u8, 0, 1) * 255).astype(np.uint8)
+        res = int(canvas_u8.shape[0])
+        cfg = self.base.config
+        steps = int(settings.get("steps", cfg.denoising_steps))
+        self._counter += 1
+        payload = dict(
+            canvas=canvas_u8,
+            brush=self._brush_at(session, res),
+            cond=session._cond, uncond=session._uncond,
+            counter=np.uint32(self._counter),
+            cfg_weight=np.float32(settings.get("cfg_weight",
+                                               cfg.guidance_scale)),
+            tg_weight=np.float32(settings.get("tg_weight",
+                                              cfg.texture_guidance_scale)),
+            tg_steps=np.int32(settings.get("tg_steps",
+                                           cfg.texture_guidance_steps)),
+            context_pad=np.int32(settings.get("context_pad",
+                                              cfg.context_pad)),
+        )
+        return await self.dispatcher.submit((res, steps), payload)
+
+    def _brush_at(self, session, res):
+        img = session.image
+        if img.shape[0] != res:
+            img = crop_resize_square(img, res).astype(np.float32)
+        return img
+
+    def _run_batch(self, key, payloads):
+        res, steps = key
+        n = len(payloads)
+        B = self.dispatcher.batch_size
+        padded = payloads + [payloads[-1]] * (B - n)
+        stack = lambda f: np.stack([f(p) for p in padded])
+        base_key = np.asarray(self.base._base_key)
+        raw, comp = self.engine.stamp_batch(
+            self.base.params,
+            stack(lambda p: p["canvas"][None]),
+            stack(lambda p: p["brush"][None]),
+            stack(lambda p: np.asarray(p["cond"])),
+            stack(lambda p: np.asarray(p["uncond"])),
+            np.broadcast_to(base_key, (B,) + base_key.shape).copy(),
+            stack(lambda p: p["cfg_weight"]),
+            stack(lambda p: p["tg_weight"]),
+            stack(lambda p: p["tg_steps"]),
+            stack(lambda p: p["context_pad"]),
+            steps=steps,
+            counters=stack(lambda p: p["counter"]),
+        )
+        comp = np.asarray(comp)
+        return [comp[i] for i in range(n)]
+
+
+def make_parallel_service(resolution: int, mesh_spec: str,
+                          checkpoint_dir: str | None = None,
+                          scheduler: str | None = None,
+                          window_ms: float = 3.0,
+                          tiny: bool = False):
+    """Build the service from a CLI mesh spec like 'data=8'."""
+    from jax.sharding import Mesh
+
+    from ..core.config import PipelineConfig
+    from ..pipeline.tpu_model import TPUConditionalInpainter
+
+    kv = dict(part.split("=") for part in mesh_spec.split(","))
+    data = int(kv.pop("data", len(jax.devices())))
+    if kv:
+        raise ValueError(f"unsupported mesh axes for serving: {kv}")
+    devices = np.asarray(jax.devices()[:data])
+    if len(devices) < data:
+        raise ValueError(
+            f"mesh data={data} but only {len(jax.devices())} devices")
+    mesh = Mesh(devices, ("data",))
+    base = TPUConditionalInpainter(
+        resolution,
+        config=PipelineConfig(scheduler=scheduler) if scheduler else None,
+        checkpoint_dir=checkpoint_dir,
+        tiny=tiny,
+        warmup=False,  # the batched SPMD program warms on first batch
+        verbose_timing=False,
+    )
+    return ParallelInpainterService(base, mesh, window_ms=window_ms)

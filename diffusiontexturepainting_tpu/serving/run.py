@@ -58,8 +58,33 @@ def create_server(model=None, resolution: int = 256, debug_dir: str | None = Non
                   scheduler: str | None = None,
                   deep_cache_interval: int | None = None,
                   warmup_points=None,
-                  profile_dir: str | None = None):
-    """Create the Tornado application around an inpainter model."""
+                  profile_dir: str | None = None,
+                  mesh: str | None = None,
+                  batch_window_ms: float = 3.0):
+    """Create the Tornado application around an inpainter model.
+
+    mesh: e.g. "data=8" - serve concurrent sessions through a
+    request-parallel SPMD stamp program over N chips
+    (serving/parallel_model.py); each websocket connection gets its own
+    brush session, stamps micro-batch across the mesh.
+    """
+    if mesh:
+        from .parallel_model import make_parallel_service
+
+        service = make_parallel_service(
+            resolution, mesh, checkpoint_dir=checkpoint_dir,
+            scheduler=scheduler, window_ms=batch_window_ms)
+        model_info = (f"tpu-sd15-inpaint mesh[{mesh}]"
+                      + ("" if checkpoint_dir else " (random weights)"))
+        return tornado.web.Application(
+            [
+                (r"/websocket/", InpaintWebSocketHandler,
+                 dict(service=service, model_info_str=model_info,
+                      debug_dir=debug_dir)),
+                (r"/health", HealthHandler),
+            ],
+            model_info=model_info,
+        )
     if model is None:
         if mock:
             from ..client.mock_model import MockConditionalInpainter
@@ -119,6 +144,12 @@ def run_main(argv=None):
                         help="comma list of RESOLUTIONxSTEPS operating points "
                              "to compile at startup, e.g. '256x20,512x4' "
                              "(the analog of TRT optimization profiles)")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="request-parallel multi-chip serving, e.g. "
+                             "'data=8': concurrent sessions micro-batch "
+                             "into one SPMD stamp program over N chips")
+    parser.add_argument("--batch-window-ms", type=float, default=3.0,
+                        help="micro-batch collection window for --mesh")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="diagnostic only: adds per-request latency and "
                              "disk per trace; auto-disables after 32 traces. "
@@ -139,7 +170,9 @@ def run_main(argv=None):
                         scheduler=args.scheduler,
                         deep_cache_interval=args.deep_cache_interval,
                         warmup_points=warmup_points,
-                        profile_dir=args.profile_dir)
+                        profile_dir=args.profile_dir,
+                        mesh=args.mesh,
+                        batch_window_ms=args.batch_window_ms)
     app.listen(args.port)
     logger.info("Serving on ws://0.0.0.0:%d/websocket/", args.port)
     tornado.ioloop.IOLoop.current().start()

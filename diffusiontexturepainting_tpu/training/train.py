@@ -66,6 +66,19 @@ def build_argparser():
                    help="compute dtype (params stay f32); default bf16 on "
                         "TPU, fp32 elsewhere")
     p.add_argument("--log_every", type=int, default=10)
+    # multi-host (DCN) bring-up - the analog of `accelerate launch`'s
+    # process-group init (reference train...py:343-349 / --local_rank)
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address host:port for multi-host "
+                        "training (jax.distributed over DCN)")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="total number of training processes (multi-host)")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="this process's index (multi-host)")
+    p.add_argument("--wandb", action="store_true",
+                   help="also log metrics to Weights & Biases (reference "
+                        "train...py:286-294; tensorboard stays on)")
+    p.add_argument("--wandb_project", default="dtp-tpu")
     return p
 
 
@@ -112,6 +125,13 @@ def main(argv=None):
                           split_patch_encoder_params)
 
     import jax.numpy as jnp
+
+    # multi-host bring-up must precede any device use (reference analog:
+    # `accelerate launch` initializes the NCCL process group before model
+    # placement, train...py:343-349); single-process runs no-op here.
+    from ..parallel.mesh import init_distributed
+
+    init_distributed(args.coordinator, args.num_processes, args.process_id)
 
     mp_dtype = {None: None, "bf16": jnp.bfloat16,
                 "fp32": jnp.float32}[args.mixed_precision]
@@ -186,13 +206,23 @@ def main(argv=None):
     logger.info("dataset: %d images", len(dataset))
     data_sharding = NamedSharding(mesh, P("data"))
 
-    # --- tensorboard ---
+    # --- trackers: tensorboard (default) + optional wandb (reference
+    # train...py:286-294 offers the same two via accelerate) ---
     try:
         from torch.utils.tensorboard import SummaryWriter
 
         writer = SummaryWriter(os.path.join(args.output_dir, "logs"))
     except Exception:  # pragma: no cover
         writer = None
+    wandb_run = None
+    if args.wandb:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(project=args.wandb_project,
+                                   config=vars(args))
+        except Exception as e:  # pragma: no cover - wandb not installed
+            logger.warning("--wandb requested but unavailable: %s", e)
 
     train_step = jax.jit(make_train_step(cfg, unet, vae_enc, patch_enc))
     rng = jax.random.PRNGKey(args.seed)
@@ -222,6 +252,11 @@ def main(argv=None):
                     writer.add_scalar("train/grad_norm", gnorm, step + 1)
                     writer.add_scalar("train/steps_per_sec", 1.0 / max(dt, 1e-9),
                                       step + 1)
+                if wandb_run:
+                    wandb_run.log({"train/loss": loss,
+                                   "train/grad_norm": gnorm,
+                                   "train/steps_per_sec": 1.0 / max(dt, 1e-9)},
+                                  step=step + 1)
 
             if (step + 1) % args.checkpointing_steps == 0:
                 mngr.save(step + 1, args=ocp.args.StandardSave(
@@ -248,6 +283,8 @@ def main(argv=None):
     save_component(os.path.join(export_dir, "vae_decoder.npz"),
                    jax.device_get(all_params["vae_decoder"]))
     logger.info("exported serving checkpoint to %s", export_dir)
+    if wandb_run:
+        wandb_run.finish()
     if writer:
         writer.close()
     return export_dir

@@ -146,3 +146,52 @@ def test_fused_decode_matches_module(vae_setup):
     out = fused_decode(pd, lat, cfg, jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_upconv_stream_matches_reference():
+    """Streamed subpixel upsample-conv (+stats epilogue) vs the XLA
+    reference (nearest-2x + conv)."""
+    from diffusiontexturepainting_tpu.ops.gn_conv_stream import (
+        upconv_stream,
+        upconv_stream_plan,
+    )
+
+    B, H, W, C = 1, 16, 16, 128
+    x = _rand((B, H, W, C), 0)
+    w = _rand((3, 3, C, C), 1, 0.05)
+    b = _rand((C,), 2)
+    assert upconv_stream_plan(x.shape, w.shape, 4) is not None
+    ref_out, ref_st = upconv_stream(x, w, b, True, force="xla")
+    out, st = upconv_stream(x, w, b, True, force="pallas")
+    assert out.shape == (B, 2 * H, 2 * W, C)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(st[:, :2]),
+                               np.asarray(ref_st[:, :2]),
+                               atol=1e-2, rtol=1e-3)
+
+
+def test_prologue_chunk_wide_shape():
+    """Adaptive prologue row-chunk: a wide shape (the decoder's 256-wide
+    512-channel level used to fall off to XLA) must still match the
+    reference bit-for-tolerance with chunk_rows < 8."""
+    from diffusiontexturepainting_tpu.ops.gn_conv_stream import (
+        _prologue_rows,
+        stream_fused_plan,
+    )
+
+    assert _prologue_rows(258, 512) < 8
+    assert stream_fused_plan((1, 256, 256, 512), (3, 3, 512, 256), 2) \
+        is not None
+    B, H, W, Cin, Cout = 1, 8, 256, 256, 128
+    x = _rand((B, H, W, Cin), 0)
+    a = _rand((B, Cin), 1, 0.2) + 1.0
+    c = _rand((B, Cin), 2, 0.2)
+    w = _rand((3, 3, Cin, Cout), 3, 0.05)
+    b = _rand((Cout,), 4)
+    ref_out, ref_st = gn_conv_stream(x, a, c, w, b, None, True, True, "xla")
+    out, st = gn_conv_stream(x, a, c, w, b, None, True, True, "pallas")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(st[:, :2]), np.asarray(ref_st[:, :2]),
+                               atol=1e-2, rtol=1e-3)

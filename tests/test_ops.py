@@ -93,3 +93,30 @@ def test_nearest_downsample_matches_interpolate():
     ours = np.asarray(nearest_downsample(jnp.asarray(img), 8))
     ref = F.interpolate(torch.from_numpy(img).permute(0, 3, 1, 2), size=(8, 8))
     np.testing.assert_allclose(ours, ref.permute(0, 2, 3, 1).numpy())
+
+
+def test_transformer_block_2d_layout_matches_3d():
+    """_T2D_2D (pointwise ops on (B*L, C)) must be numerically identical
+    to the 3D baseline - it only changes tensor shapes, not math."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffusiontexturepainting_tpu.models import layers
+
+    blk = layers.BasicTransformerBlock(num_heads=2, head_dim=8, kv_dim=12)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (3, 10, 16), jnp.float32)
+    ctx = jax.random.normal(key, (3, 5, 12), jnp.float32)
+    prev = layers._T2D_2D
+    try:
+        layers._T2D_2D = False
+        params = blk.init(key, x, ctx)["params"]
+        out3 = blk.apply({"params": params}, x, ctx)
+        layers._T2D_2D = True
+        # same param tree must serve both layouts
+        out2 = blk.apply({"params": params}, x, ctx)
+    finally:
+        layers._T2D_2D = prev
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out3),
+                               atol=1e-5, rtol=1e-5)

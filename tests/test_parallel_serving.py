@@ -1,0 +1,139 @@
+"""End-to-end multi-chip serving: concurrent websocket sessions
+micro-batched over the 8-device virtual CPU mesh (VERDICT r1 next #7 -
+the product surface of parallel/serving.py ParallelStampEngine).
+
+Uses the tiny model (full pipeline semantics, CPU-sized shapes)."""
+
+import threading
+
+import numpy as np
+import pytest
+
+import tornado.httpserver
+import tornado.ioloop
+import tornado.netutil
+
+# compile-heavy: full-pipeline jit on CPU
+pytestmark = pytest.mark.slow
+
+RES = 64  # tiny UNet needs latent >= 8 (res 32 breaks skip shapes)
+
+
+@pytest.fixture(scope="module")
+def parallel_server():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+
+    from diffusiontexturepainting_tpu.serving.handler import (
+        InpaintWebSocketHandler,
+    )
+    from diffusiontexturepainting_tpu.serving.parallel_model import (
+        make_parallel_service,
+    )
+    import tornado.web
+
+    loop_holder = {}
+    started = threading.Event()
+
+    def run():
+        import asyncio
+
+        asyncio.set_event_loop(asyncio.new_event_loop())
+        loop = tornado.ioloop.IOLoop.current()
+        service = make_parallel_service(RES, "data=8", tiny=True,
+                                        window_ms=30.0)
+        app = tornado.web.Application(
+            [(r"/websocket/", InpaintWebSocketHandler,
+              dict(service=service, model_info_str="parallel-test"))])
+        sockets = tornado.netutil.bind_sockets(0, "127.0.0.1")
+        server = tornado.httpserver.HTTPServer(app)
+        server.add_sockets(sockets)
+        loop_holder["loop"] = loop
+        loop_holder["port"] = sockets[0].getsockname()[1]
+        loop_holder["service"] = service
+        started.set()
+        loop.start()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    started.wait(timeout=120)
+    yield loop_holder
+    loop_holder["loop"].add_callback(loop_holder["loop"].stop)
+
+
+def _run_session(port, seed, results, idx):
+    from diffusiontexturepainting_tpu.client.websocket_model import (
+        WebsocketConditionalInpainter,
+    )
+
+    rng = np.random.default_rng(seed)
+    c = WebsocketConditionalInpainter(f"ws://127.0.0.1:{port}/websocket/",
+                                      resolution=RES)
+    c.set_brush(rng.random((RES, RES, 3)).astype(np.float32))
+    canvas = np.zeros((RES, RES, 4), np.float32)
+    canvas[: RES // 2, :, :3] = rng.random((RES // 2, RES, 3))
+    canvas[: RES // 2, :, 3] = 1.0
+    outs = []
+    for _ in range(2):
+        out = c.generate(canvas, steps=2, width=RES, context_pad=8,
+                         cfg_weight=2.0, tg_weight=1.0, tg_steps=2)
+        outs.append(out)
+    results[idx] = (canvas, outs)
+
+
+def test_concurrent_sessions_batch_on_mesh(parallel_server):
+    port = parallel_server["port"]
+    n_sessions = 4
+    results = [None] * n_sessions
+    threads = [
+        threading.Thread(target=_run_session, args=(port, 10 + i, results, i))
+        for i in range(n_sessions)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    for i, r in enumerate(results):
+        assert r is not None, f"session {i} did not finish"
+        canvas, outs = r
+        for out in outs:
+            assert out.shape == (RES, RES, 3)
+            # painted region preserved by the on-device composite
+            np.testing.assert_allclose(out[: RES // 2], canvas[: RES // 2, :, :3],
+                                       atol=1 / 255 + 1e-6)
+
+
+def test_single_session_not_blocked(parallel_server):
+    """A lone request must complete promptly (window timeout path)."""
+    port = parallel_server["port"]
+    results = [None]
+    _run_session(port, 99, results, 0)
+    assert results[0] is not None
+
+
+def test_batch_dispatcher_pads_and_scatter():
+    """Unit: dispatcher pads a partial batch and scatters per-request
+    results in order."""
+    import asyncio
+
+    from diffusiontexturepainting_tpu.serving.parallel_model import (
+        _BatchDispatcher,
+    )
+
+    calls = []
+
+    def run_batch(key, payloads):
+        calls.append((key, list(payloads)))
+        return [p * 10 for p in payloads]
+
+    async def main():
+        d = _BatchDispatcher(run_batch, batch_size=4, window_ms=5.0)
+        outs = await asyncio.gather(
+            d.submit(("a",), 1), d.submit(("a",), 2), d.submit(("b",), 3))
+        return outs
+
+    outs = asyncio.new_event_loop().run_until_complete(main())
+    assert outs == [10, 20, 30]
+    assert {k for k, _ in calls} == {("a",), ("b",)}

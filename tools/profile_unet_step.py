@@ -84,7 +84,10 @@ def main():
         sample = jax.random.normal(key, (3, lat, lat, 9), jnp.float32)
         ctx = jax.random.normal(key, (3, 14, 768), jnp.float32)
         t = jnp.full((3,), 500.0, jnp.float32)
-        params = model.init(key, sample, t, ctx)["params"]
+        # init must be jitted: eager init dispatches each pallas conv as a
+        # standalone program, which trips the remote compiler's 16 MB
+        # scoped-VMEM limit (fine when embedded in a larger jit)
+        params = jax.jit(model.init)(key, sample, t, ctx)["params"]
         params = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16), params)
         fn = jax.jit(lambda p, s: model.apply({"params": p}, s, t, ctx))
@@ -94,7 +97,7 @@ def main():
 
         model = VAEDecoder(VAEConfig(), dtype=jnp.bfloat16)
         z = jax.random.normal(key, (1, lat, lat, 4), jnp.float32)
-        params = model.init(key, z)["params"]
+        params = jax.jit(model.init)(key, z)["params"]
         params = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16), params)
         fn = jax.jit(lambda p, s: model.apply({"params": p}, s))
@@ -107,7 +110,7 @@ def main():
 
         model = VAEEncoder(cfg, dtype=jnp.bfloat16)
         img = jax.random.normal(key, (2, res, res, 3), jnp.float32)
-        params = model.init(key, img)["params"]
+        params = jax.jit(model.init)(key, img)["params"]
         params = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16), params)
         fn = jax.jit(lambda p, s: fused_encode(p, s, cfg, jnp.bfloat16))
