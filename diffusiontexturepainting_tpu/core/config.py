@@ -33,6 +33,13 @@ class UNetConfig:
     time_embed_dim_mult: int = 4
     freq_shift: int = 0
     flip_sin_to_cos: bool = True
+    # Serving-only: execute resnet GroupNorm+SiLU+conv chains as fused
+    # resident kernels (see models/layers.py ResnetBlock.fused). No VJP;
+    # keep False for training.
+    fused_resnet: bool = False
+    # Serving-only: run transformer FeedForwards as one token-blocked
+    # GEGLU pallas kernel (ops/ff_geglu.py). No VJP.
+    fused_ff: bool = False
 
     @property
     def time_embed_dim(self) -> int:
@@ -117,6 +124,14 @@ class PipelineConfig:
     # only the encoder defaults to fused.
     fused_vae_encoder: bool = True
     fused_vae_decoder: bool = False
+    # Fused UNet resnet execution (chained-GN resident conv kernels,
+    # models/layers.py ResnetBlock.fused): 11% faster per resnet chain at
+    # the 512px L0 shape on v5e; shapes outside the resident-VMEM budget
+    # fall back per-conv.
+    fused_unet_resnet: bool = True
+    # Fused transformer FeedForward (token-blocked GEGLU pallas kernel,
+    # ops/ff_geglu.py): the (tokens, 4C) FF intermediate stays in VMEM.
+    fused_unet_ff: bool = True
 
 
 # CLIP image normalization constants (reference image_encoder.py:75-76).

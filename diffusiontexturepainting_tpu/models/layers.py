@@ -75,13 +75,18 @@ class GroupNorm32(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, params_only: bool = False):
         c = x.shape[-1]
         g = self.num_groups
         # child module named "norm" keeps the param paths (norm/scale,
         # norm/bias) identical to the previous nn.GroupNorm layout that the
         # weight converter targets.
         scale, bias = _ScaleBias(c, name="norm")()
+        if params_only:
+            # declare-only mode for callers that fold the norm into a
+            # fused conv kernel (ResnetBlock fused path); x supplies only
+            # the channel count.
+            return scale, bias
         # Group statistics in two stages that never change the tensor's
         # native NHWC (C-in-lanes) layout:
         #   1. one fused pass over x reducing the spatial axes in f32
@@ -241,6 +246,22 @@ class Attention(nn.Module):
                         param_dtype=jnp.float32, name="to_out")(out)
 
 
+class _DenseParams(nn.Module):
+    """Declare-only twin of nn.Dense's param tree (kernel/bias, f32) for
+    callers that consume the weights inside a fused pallas kernel."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
 class GEGLU(nn.Module):
     """Gated GELU feed-forward input projection (reference: the SplitGeLU
     TRT plugin, models.py:367-389; XLA fuses this natively)."""
@@ -249,7 +270,10 @@ class GEGLU(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, params_only: bool = False):
+        if params_only:
+            return _DenseParams(self.inner_dim * 2, x.shape[-1],
+                                name="proj")()
         proj = nn.Dense(self.inner_dim * 2, dtype=self.dtype,
                         param_dtype=jnp.float32, name="proj")(x)
         h, gate = jnp.split(proj, 2, axis=-1)
@@ -257,16 +281,37 @@ class GEGLU(nn.Module):
 
 
 class FeedForward(nn.Module):
-    """Transformer FF: GEGLU (UNet) or plain GELU (patch encoder)."""
+    """Transformer FF: GEGLU (UNet) or plain GELU (patch encoder).
+
+    `fused=True` (serving-only, geglu flavor) runs the whole FF - both
+    projections and the gate - as one token-blocked pallas kernel
+    (ops/ff_geglu.py) so the (tokens, 4C) intermediate never touches HBM;
+    the residual add rides the kernel epilogue. Identical param tree.
+    """
 
     mult: int = 4
     activation: str = "geglu"
+    fused: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, residual=None):
         dim = x.shape[-1]
         inner = dim * self.mult
+        if self.fused and self.activation == "geglu" and residual is not None:
+            from ..ops.ff_geglu import ff_geglu, ff_geglu_plan
+
+            x2 = x.reshape(-1, dim)
+            if (jax.default_backend() != "tpu"
+                    or ff_geglu_plan(x2.shape[0], dim, inner) is not None):
+                w0, b0 = GEGLU(inner, dtype=self.dtype,
+                               name="net_0")(x, params_only=True)
+                w2, b2 = _DenseParams(dim, inner, name="net_2")()
+                dt = self.dtype
+                out = ff_geglu(x2.astype(dt), w0.astype(dt), b0.astype(dt),
+                               w2.astype(dt), b2.astype(dt),
+                               residual.reshape(-1, dim).astype(dt))
+                return out.reshape(residual.shape)
         if self.activation == "geglu":
             h = GEGLU(inner, dtype=self.dtype, name="net_0")(x)
         elif self.activation == "gelu":
@@ -275,8 +320,9 @@ class FeedForward(nn.Module):
             h = nn.gelu(h, approximate=False)
         else:
             raise ValueError(self.activation)
-        return nn.Dense(dim, dtype=self.dtype, param_dtype=jnp.float32,
-                        name="net_2")(h)
+        out = nn.Dense(dim, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="net_2")(h)
+        return out if residual is None else residual + out
 
 
 class BasicTransformerBlock(nn.Module):
@@ -293,6 +339,7 @@ class BasicTransformerBlock(nn.Module):
     kv_dim: Optional[int] = None
     qkv_bias: bool = False
     ff_activation: str = "geglu"
+    ff_fused: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -313,8 +360,8 @@ class BasicTransformerBlock(nn.Module):
                           qkv_bias=self.qkv_bias, dtype=self.dtype,
                           name="attn2")(h, context, batch=batch)
         h = LayerNorm32(name="norm3")(x)
-        x = x + FeedForward(activation=self.ff_activation, dtype=self.dtype,
-                            name="ff")(h)
+        x = FeedForward(activation=self.ff_activation, fused=self.ff_fused,
+                        dtype=self.dtype, name="ff")(h, residual=x)
         if orig_shape is not None:
             x = x.reshape(orig_shape)
         return x
@@ -334,6 +381,14 @@ class ResnetBlock(nn.Module):
     # (UNet2DConditionModel default), the VAE's Encoder/Decoder hardcode
     # resnet_eps=1e-6 - callers must pass the right one for parity.
     eps: float = 1e-5
+    # Serving-only chained-GN execution: both GroupNorm+SiLU pairs are
+    # folded into the 3x3 convs (ops/conv3x3.py gn_conv_resident: affine
+    # prologue in VMEM + stats epilogue), eliminating the standalone GN2
+    # reduce and both GN-apply/SiLU HBM round trips; the time embedding is
+    # folded algebraically into GN2's affine (stats shift + c' = c + t*a).
+    # No VJP - training keeps the module path. Measured 11% faster per
+    # resnet chain at the 512px L0 shape (tools/bench_resnet_chain.py).
+    fused: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -342,15 +397,86 @@ class ResnetBlock(nn.Module):
         # Conv3x3: pallas implicit-GEMM on TPU (ops/conv3x3.py), XLA conv
         # elsewhere; identical param tree to nn.Conv.
         conv = lambda name, ch: Conv3x3(ch, dtype=self.dtype, name=name)
-        h = GroupNorm32(self.num_groups, eps=self.eps, name="norm1")(x)
-        h = conv("conv1", self.out_channels)(nn.silu(h))
+        norm1 = GroupNorm32(self.num_groups, eps=self.eps, name="norm1")
+        norm2 = GroupNorm32(self.num_groups, eps=self.eps, name="norm2")
+        conv1 = conv("conv1", self.out_channels)
+        conv2 = conv("conv2", self.out_channels)
+        t = None
         if self.use_temb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          param_dtype=jnp.float32, name="time_emb_proj")(
                 nn.silu(temb))
+        if self.fused:
+            from ..ops.conv3x3 import (
+                gn_conv_resident,
+                gn_conv_resident_plan,
+            )
+            from ..ops.gn_conv_stream import (
+                gn_affine_from_stats,
+                shift_stats_for_temb,
+                stats_of,
+            )
+
+            dt = self.dtype
+            B, H, W = x.shape[0], x.shape[1], x.shape[2]
+            out_sh = (B, H, W, self.out_channels)
+            w1_sh = (3, 3, in_ch, self.out_channels)
+            w2_sh = (3, 3, self.out_channels, self.out_channels)
+            on_tpu = jax.default_backend() == "tpu"
+            # Per-conv hybrid: a conv whose shape the resident kernel
+            # cannot take falls back to the MODULE leg (GroupNorm fusion +
+            # pallas implicit-GEMM conv), never to an unfused XLA conv -
+            # the up-block concat conv1s (Cin 960-2560) turned into f32
+            # XLA convs otherwise and cost +3.5 ms/UNet-step.
+            fuse1 = (not on_tpu
+                     or gn_conv_resident_plan(x.shape, w1_sh, False)
+                     is not None)
+            fuse2 = (not on_tpu
+                     or gn_conv_resident_plan(out_sh, w2_sh, True)
+                     is not None)
+            if fuse2:
+                n_sp = H * W
+                xd = x.astype(dt)
+                if fuse1:
+                    s1, b1 = norm1(x, params_only=True)
+                    w1, cb1 = conv1(x, params_only=True)
+                    a1, c1 = gn_affine_from_stats(
+                        stats_of(xd), s1, b1, self.num_groups, n_sp,
+                        self.eps)
+                    h, st_mid = gn_conv_resident(xd, a1, c1, w1.astype(dt),
+                                                 cb1.astype(dt), None, True,
+                                                 True)
+                else:
+                    h = conv1(nn.silu(norm1(x)))
+                    st_mid = stats_of(h)
+                dummy_out = jnp.zeros((1, 1, 1, self.out_channels), dt)
+                s2, b2 = norm2(dummy_out, params_only=True)
+                w2, cb2 = conv2(dummy_out, params_only=True)
+                if t is not None:
+                    st_mid = shift_stats_for_temb(st_mid, t, n_sp)
+                a2, c2 = gn_affine_from_stats(st_mid, s2, b2,
+                                              self.num_groups, n_sp,
+                                              self.eps)
+                if t is not None:
+                    c2 = c2 + t.astype(jnp.float32) * a2
+                res = x
+                if in_ch != self.out_channels:
+                    res = nn.Conv(self.out_channels, (1, 1),
+                                  dtype=self.dtype,
+                                  param_dtype=jnp.float32,
+                                  name="conv_shortcut")(x)
+                out, _ = gn_conv_resident(h, a2, c2, w2.astype(dt),
+                                          cb2.astype(dt), res.astype(dt),
+                                          False, True)
+                return out
+            # conv2 ineligible (image exceeds the resident budget):
+            # whole-module path below.
+        h = norm1(x)
+        h = conv1(nn.silu(h))
+        if t is not None:
             h = h + t[:, None, None, :]
-        h = GroupNorm32(self.num_groups, eps=self.eps, name="norm2")(h)
-        h = conv("conv2", self.out_channels)(nn.silu(h))
+        h = norm2(h)
+        h = conv2(nn.silu(h))
         if in_ch != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                         param_dtype=jnp.float32, name="conv_shortcut")(x)
@@ -426,6 +552,7 @@ class Transformer2D(nn.Module):
     depth: int = 1
     kv_dim: Optional[int] = None
     num_groups: int = 32
+    ff_fused: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -440,6 +567,7 @@ class Transformer2D(nn.Module):
         for i in range(self.depth):
             hidden = BasicTransformerBlock(
                 self.num_heads, self.head_dim, kv_dim=self.kv_dim,
+                ff_fused=self.ff_fused,
                 dtype=self.dtype, name=f"transformer_blocks_{i}")(hidden, context)
         hidden = hidden.reshape(b, h, w, c)
         hidden = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,

@@ -55,36 +55,45 @@ class UNet2DCondition(nn.Module):
         for i, ch in enumerate(cfg.block_out_channels):
             for j in range(cfg.layers_per_block):
                 setattr(self, f"down_{i}_resnet_{j}",
-                        ResnetBlock(ch, cfg.norm_num_groups, dtype=self.dtype))
+                        ResnetBlock(ch, cfg.norm_num_groups,
+                                    fused=cfg.fused_resnet, dtype=self.dtype))
                 if cfg.attn_down[i]:
                     setattr(self, f"down_{i}_attn_{j}",
                             Transformer2D(heads, ch // heads,
                                           kv_dim=cfg.cross_attention_dim,
                                           num_groups=cfg.norm_num_groups,
+                                          ff_fused=cfg.fused_ff,
                                           dtype=self.dtype))
             if i < len(cfg.block_out_channels) - 1:
                 setattr(self, f"down_{i}_downsample",
                         Downsample(ch, dtype=self.dtype))
 
         ch = cfg.block_out_channels[-1]
-        self.mid_resnet_0 = ResnetBlock(ch, cfg.norm_num_groups, dtype=self.dtype)
+        self.mid_resnet_0 = ResnetBlock(ch, cfg.norm_num_groups,
+                                        fused=cfg.fused_resnet,
+                                        dtype=self.dtype)
         self.mid_attn = Transformer2D(heads, ch // heads,
                                       kv_dim=cfg.cross_attention_dim,
                                       num_groups=cfg.norm_num_groups,
+                                      ff_fused=cfg.fused_ff,
                                       dtype=self.dtype)
-        self.mid_resnet_1 = ResnetBlock(ch, cfg.norm_num_groups, dtype=self.dtype)
+        self.mid_resnet_1 = ResnetBlock(ch, cfg.norm_num_groups,
+                                        fused=cfg.fused_resnet,
+                                        dtype=self.dtype)
 
         rev_channels = tuple(reversed(cfg.block_out_channels))
         rev_attn = tuple(reversed(cfg.attn_down))
         for i, ch in enumerate(rev_channels):
             for j in range(cfg.layers_per_block + 1):
                 setattr(self, f"up_{i}_resnet_{j}",
-                        ResnetBlock(ch, cfg.norm_num_groups, dtype=self.dtype))
+                        ResnetBlock(ch, cfg.norm_num_groups,
+                                    fused=cfg.fused_resnet, dtype=self.dtype))
                 if rev_attn[i]:
                     setattr(self, f"up_{i}_attn_{j}",
                             Transformer2D(heads, ch // heads,
                                           kv_dim=cfg.cross_attention_dim,
                                           num_groups=cfg.norm_num_groups,
+                                          ff_fused=cfg.fused_ff,
                                           dtype=self.dtype))
             if i < len(rev_channels) - 1:
                 setattr(self, f"up_{i}_upsample", Upsample(ch, dtype=self.dtype))

@@ -972,3 +972,218 @@ def _conv3x3_stream(x, w, b, plan, interpret=False):
             transcendentals=0),
         interpret=interpret,
     )(xp, w9, b2)
+
+
+# ---------------------------------------------------------------------------
+# Resident chained-GN conv: affine prologue + stats epilogue.
+#
+# The UNet's resnet bodies at latent resolution fit entirely in VMEM
+# (the _conv_kernel path). This variant additionally (a) applies a
+# PRECOMPUTED folded GroupNorm affine + SiLU to the resident image -
+# once per batch, reused across cout tiles - and (b) emits the
+# (sum, sumsq) of its own output, so the NEXT GroupNorm's statistics
+# need no separate pass over the tensor (the resident analog of
+# ops/gn_conv_stream.py; the earlier gn_silu_conv3x3 computed stats
+# in-kernel from its own input and lost ~10% because its INPUT stats
+# still required a separate XLA pass - chaining removes that pass).
+# ---------------------------------------------------------------------------
+
+
+def _gn_res_kernel(x_ref, a_ref, c_ref, w_ref, b_ref, *rest,
+                   H, W, H_T, Cin, N_T, has_res, want_stats, apply_gn,
+                   pro_rows=8):
+    if has_res and want_stats:
+        res_ref, out_ref, st_ref = rest
+    elif has_res:
+        (res_ref, out_ref), st_ref = rest, None
+    elif want_stats:
+        (out_ref, st_ref), res_ref = rest, None
+    else:
+        (out_ref,), res_ref, st_ref = rest, None, None
+
+    ni = pl.program_id(1)
+    hi = pl.program_id(2)
+    num_h = pl.num_programs(2)
+
+    # Prologue: normalize the resident padded image IN PLACE once per
+    # batch (the x block's index map ignores n/h, so it stays resident
+    # across all cout/row tiles of this batch image). The SAME-padding
+    # border must end up zero: silu(0*a + c) != 0, so the interior mask
+    # multiplies it away.
+    @pl.when((ni == 0) & (hi == 0) & apply_gn)
+    def _normalize():
+        a = a_ref[0, 0, :].astype(jnp.float32)
+        c0 = c_ref[0, 0, :].astype(jnp.float32)
+        for h0 in range(0, H + 2, pro_rows):
+            rows = min(pro_rows, H + 2 - h0)
+            chunk = x_ref[0, h0:h0 + rows, :, :].astype(jnp.float32)
+            chunk = chunk * a[None, None, :] + c0[None, None, :]
+            chunk = chunk * jax.nn.sigmoid(chunk)
+            gr = h0 + jax.lax.broadcasted_iota(jnp.int32, (rows, W + 2), 0)
+            gc = jax.lax.broadcasted_iota(jnp.int32, (rows, W + 2), 1)
+            keep = (gr >= 1) & (gr <= H) & (gc >= 1) & (gc <= W)
+            chunk = chunk * keep.astype(jnp.float32)[..., None]
+            x_ref[0, h0:h0 + rows, :, :] = chunk.astype(x_ref.dtype)
+
+    row0 = pl.multiple_of(hi * H_T, H_T)
+    bias = b_ref[0].astype(jnp.float32)
+    acc = None
+    for k in range(9):
+        di, dj = k // 3, k % 3
+        slab = x_ref[0, pl.ds(row0 + di, H_T), pl.ds(dj, W), :]
+        d = jnp.dot(slab.reshape(H_T * W, Cin), w_ref[k],
+                    preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
+    y = acc + bias[None, :]
+    if res_ref is not None:
+        y = y + res_ref[0].reshape(H_T * W, N_T).astype(jnp.float32)
+    if st_ref is not None:
+        @pl.when(hi == 0)
+        def _zero():
+            st_ref[...] = jnp.zeros_like(st_ref)
+
+        st_ref[0, 0:1, :] += jnp.sum(y, axis=0)[None]
+        st_ref[0, 1:2, :] += jnp.sum(y * y, axis=0)[None]
+    out_ref[0] = y.reshape(H_T, W, N_T).astype(out_ref.dtype)
+
+
+def gn_conv_resident_plan(x_shape, w_shape, has_res: bool = True):
+    """Itemized VMEM budget walk for the chained resident kernel.
+
+    Returns (H_T, N_T, prologue_rows) or None. Components held at once
+    under the 16 MB scoped-VMEM ceiling:
+      - the whole padded image (constant index map -> single copy),
+      - one cout-tile of weights (double-buffered only when Cout spans
+        multiple tiles - the tile changes across the middle grid dim),
+      - out (+ optional residual) tiles, double-buffered,
+      - the f32 tap accumulator,
+      - the prologue's f32 normalize temporaries (row chunk adapts down
+        at fat-Cin shapes: the up-block concat convs, Cin 960-2560,
+        OOMed the fixed 8-row chunk).
+    Calibrated on v5e via tools/probe_gn_resident_shapes.py."""
+    if len(x_shape) != 4 or len(w_shape) != 4:
+        return None
+    B, H, W, Cin = x_shape
+    kh, kw, wcin, Cout = w_shape
+    if (kh, kw) != (3, 3) or wcin != Cin:
+        return None
+    if H < 2 or W < 2 or Cin < 16 or Cout < 128:
+        return None
+    limit = int(15 * 1024 * 1024)
+    img = (H + 2) * (W + 2) * Cin * 2
+    if img > int(9.5 * 1024 * 1024):
+        return None
+    nts = ([Cout] if Cout <= 512 else []) + [
+        nt for nt in (512, 384, 256, 128) if Cout % nt == 0]
+    # row tiles capped at 16: at (3,64,64,320) ht=16 measured ~13% faster
+    # than ht=32 (smaller out/acc footprint, same MXU shape)
+    hts = [ht for ht in (16, 8) if H % ht == 0] or [H]
+    for nt in nts:
+        wb = 9 * Cin * nt * 2 * (2 if Cout > nt else 1)
+        if img + wb > limit:
+            continue
+        for ht in hts:
+            tiles = ht * W * nt * (2 * 2 + (2 * 2 if has_res else 0) + 4)
+            stats = 8 * nt * 4 * 2  # (STATS_ROWS, N_T) f32, double-buffered
+            room = limit - img - wb - tiles - stats
+            if room <= 0:
+                continue
+            per_row = (W + 2) * Cin * 10  # f32 chunk + silu temp + store
+            pro_rows = min(8, room // per_row)
+            if pro_rows >= 1:
+                return ht, nt, int(pro_rows)
+    return None
+
+
+def _gn_conv_resident_pallas(x, a, c, w, b, residual, want_stats, apply_gn,
+                             plan, interpret=False):
+    from .gn_conv_stream import _STATS_ROWS
+
+    B, H, W, Cin = x.shape
+    Cout = w.shape[-1]
+    H_T, N_T, pro_rows = plan
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    w9 = w.reshape(9, Cin, Cout)
+    b2 = (b if b is not None else jnp.zeros((Cout,), x.dtype)).reshape(1, Cout)
+    a2 = (a.astype(jnp.float32) if a is not None
+          else jnp.zeros((B, Cin), jnp.float32)).reshape(B, 1, Cin)
+    c2 = (c.astype(jnp.float32) if c is not None
+          else jnp.zeros((B, Cin), jnp.float32)).reshape(B, 1, Cin)
+    kernel = functools.partial(
+        _gn_res_kernel, H=H, W=W, H_T=H_T, Cin=Cin, N_T=N_T,
+        has_res=residual is not None, want_stats=want_stats,
+        apply_gn=apply_gn, pro_rows=pro_rows)
+    in_specs = [
+        pl.BlockSpec((1, H + 2, W + 2, Cin), lambda bb, n, h: (bb, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Cin), lambda bb, n, h: (bb, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Cin), lambda bb, n, h: (bb, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((9, Cin, N_T), lambda bb, n, h: (0, 0, n),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N_T), lambda bb, n, h: (0, n),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [xp, a2, c2, w9, b2]
+    if residual is not None:
+        in_specs.append(pl.BlockSpec((1, H_T, W, N_T),
+                                     lambda bb, n, h: (bb, h, 0, n),
+                                     memory_space=pltpu.VMEM))
+        args.append(residual)
+    out_specs = [pl.BlockSpec((1, H_T, W, N_T), lambda bb, n, h: (bb, h, 0, n),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype)]
+    if want_stats:
+        out_specs.append(pl.BlockSpec((1, _STATS_ROWS, N_T),
+                                      lambda bb, n, h: (bb, 0, n),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((B, _STATS_ROWS, Cout), jnp.float32))
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, Cout // N_T, H // H_T),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * W * Cin * Cout * 9,
+            bytes_accessed=(xp.size + w9.size + B * H * W * Cout)
+            * x.dtype.itemsize,
+            transcendentals=B * (H + 2) * (W + 2) * Cin,
+        ),
+        interpret=interpret,
+    )(*args)
+    if want_stats:
+        return out[0], out[1]
+    return (out if not isinstance(out, (tuple, list)) else out[0]), None
+
+
+def _gn_conv_resident_reference(x, a, c, w, b, residual, want_stats,
+                                apply_gn):
+    from .gn_conv_stream import _reference
+
+    return _reference(x, a, c, w, b, residual, want_stats, apply_gn)
+
+
+def gn_conv_resident(x, a, c, w, b, residual=None, want_stats=True,
+                     apply_gn=True, force="auto"):
+    """silu(x*a + c) -> resident 3x3 SAME conv [+ residual], returning
+    (out, stats-or-None). a, c: (B, Cin) f32 folded GN affine
+    (gn_conv_stream.gn_affine_from_stats). Serving-only (no VJP)."""
+    if force != "xla":
+        plan = gn_conv_resident_plan(x.shape, w.shape,
+                                     has_res=residual is not None)
+        backend = jax.default_backend()
+        if force == "pallas":
+            if plan is None:
+                raise ValueError(
+                    f"gn_conv_resident unsupported for {x.shape} x {w.shape}")
+            return _gn_conv_resident_pallas(x, a, c, w, b, residual,
+                                            want_stats, apply_gn, plan,
+                                            interpret=(backend != "tpu"))
+        if plan is not None and backend == "tpu":
+            return _gn_conv_resident_pallas(x, a, c, w, b, residual,
+                                            want_stats, apply_gn, plan)
+    return _gn_conv_resident_reference(x, a, c, w, b, residual, want_stats,
+                                       apply_gn)

@@ -24,24 +24,29 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_LOG2E = 1.4426950408889634  # log2(e)
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     # VPU-lean softmax: the serial VPU work between the two MXU calls is
     # what keeps this kernel off the matmul floor (profiled 1.54 ms vs
     # the 1.05 ms padded-MXU floor at the 4096-token level), so every
     # O(Bq*Lk) elementwise op counts:
-    #   - `scale` is folded into q BEFORE the dot: O(Bq*hd) multiplies
-    #     instead of O(Bq*Lk) on the score block;
+    #   - `scale` AND log2(e) are folded into q BEFORE the dot: the
+    #     softmax then uses exp2 directly (the VPU computes exp as
+    #     exp2(x*log2e) anyway - pre-folding deletes one O(Bq*Lk)
+    #     multiply pass over the score block);
     #   - the softmax divide is deferred past PV: O(Bq*hd) divides on the
     #     output instead of O(Bq*Lk) on the probabilities.
     q = q_ref[0]  # (Bq, hd)
     k = k_ref[0]  # (Lk, hd)
     v = v_ref[0]  # (Lk, hd)
-    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
     scores = jax.lax.dot_general(
         qs, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (Bq, Lk) f32
+        preferred_element_type=jnp.float32)  # (Bq, Lk) f32, base-2 logits
     m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
+    e = jnp.exp2(scores - m)
     s = jnp.sum(e, axis=-1, keepdims=True)
     o = jnp.dot(e.astype(v.dtype), v, preferred_element_type=jnp.float32)
     o_ref[0] = (o / s).astype(o_ref.dtype)
@@ -105,14 +110,14 @@ def flash_attention(q, k, v, num_heads: int, scale: float | None = None,
             qb = q_ref[0]
             kb = k_ref[0]
             vb = v_ref[0]
-            qs = (qb.astype(jnp.float32) * scale).astype(qb.dtype)
+            qs = (qb.astype(jnp.float32) * (scale * _LOG2E)).astype(qb.dtype)
             scores = jax.lax.dot_general(
                 qs, kb, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
             scores = jnp.where(col < true_lk, scores, -jnp.inf)
             m = jnp.max(scores, axis=-1, keepdims=True)
-            e = jnp.exp(scores - m)
+            e = jnp.exp2(scores - m)
             s = jnp.sum(e, axis=-1, keepdims=True)
             o = jnp.dot(e.astype(vb.dtype), vb,
                         preferred_element_type=jnp.float32)
@@ -175,8 +180,9 @@ def _stream_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
     qb = q_ref[0]  # (bq, hd)
     kb = k_ref[0]  # (bk, hd)
     vb = v_ref[0]
-    # scale folded into q: O(bq*hd) multiplies instead of O(bq*bk)
-    qs = (qb.astype(jnp.float32) * scale).astype(qb.dtype)
+    # scale and log2(e) folded into q: O(bq*hd) multiplies instead of
+    # O(bq*bk), and the online softmax runs in base-2 (exp2 directly)
+    qs = (qb.astype(jnp.float32) * (scale * _LOG2E)).astype(qb.dtype)
     s = jax.lax.dot_general(qs, kb, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     col = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -185,8 +191,8 @@ def _stream_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
     m_prev = m_scr[:, 0:1]           # (bq, 1)
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)           # (bq, bk) f32
-    corr = jnp.exp(m_prev - m_new)   # (bq, 1)
+    p = jnp.exp2(s - m_new)          # (bq, bk) f32
+    corr = jnp.exp2(m_prev - m_new)  # (bq, 1)
     l_new = l_scr[:, 0:1] * corr + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[...] = acc_scr[...] * corr + jnp.dot(
         p.astype(vb.dtype), vb, preferred_element_type=jnp.float32)

@@ -9,6 +9,7 @@ replaced by a jitted brush-encoding program (resolving the reference's
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 
 import jax
@@ -63,6 +64,10 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
                                 tiny_patch_encoder_config())
         else:
             ucfg, vcfg, pcfg = UNetConfig(), VAEConfig(), PatchEncoderConfig()
+        if self.config.fused_unet_resnet:
+            ucfg = dataclasses.replace(ucfg, fused_resnet=True)
+        if self.config.fused_unet_ff:
+            ucfg = dataclasses.replace(ucfg, fused_ff=True)
         self.unet = UNet2DCondition(ucfg, dtype=dtype)
         self.vae_encoder = VAEEncoder(vcfg, dtype=dtype)
         self.vae_decoder = VAEDecoder(vcfg, dtype=dtype)

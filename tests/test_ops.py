@@ -120,3 +120,113 @@ def test_transformer_block_2d_layout_matches_3d():
         layers._T2D_2D = prev
     np.testing.assert_allclose(np.asarray(out2), np.asarray(out3),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_gn_conv_resident_matches_reference():
+    """Resident chained-GN conv kernel (interpret mode) vs the XLA
+    reference, with residual and stats epilogue."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusiontexturepainting_tpu.ops.conv3x3 import (
+        gn_conv_resident,
+        gn_conv_resident_plan,
+    )
+
+    rng = np.random.default_rng(0)
+    B, H, W, Cin, Cout = 2, 16, 16, 128, 128
+    x = jnp.asarray(rng.standard_normal((B, H, W, Cin)), jnp.float32)
+    a = jnp.asarray(rng.standard_normal((B, Cin)) * 0.2 + 1, jnp.float32)
+    c = jnp.asarray(rng.standard_normal((B, Cin)) * 0.2, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, Cin, Cout)) * 0.05,
+                    jnp.float32)
+    b = jnp.asarray(rng.standard_normal((Cout,)), jnp.float32)
+    r = jnp.asarray(rng.standard_normal((B, H, W, Cout)), jnp.float32)
+    assert gn_conv_resident_plan(x.shape, w.shape, True) is not None
+    ro, rs = gn_conv_resident(x, a, c, w, b, r, True, True, force="xla")
+    po, ps = gn_conv_resident(x, a, c, w, b, r, True, True, force="pallas")
+    np.testing.assert_allclose(np.asarray(po), np.asarray(ro),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(ps[:, :2]), np.asarray(rs[:, :2]),
+                               atol=1e-2, rtol=1e-3)
+
+
+def test_resnet_block_fused_matches_module():
+    """ResnetBlock(fused=True) must match the module path with the SAME
+    param tree (serving flag flips execution, not parameters)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusiontexturepainting_tpu.models.layers import ResnetBlock
+
+    key = jax.random.PRNGKey(0)
+    for in_ch, out_ch, temb_on in [(128, 128, True), (64, 128, True),
+                                   (128, 128, False)]:
+        x = jax.random.normal(key, (2, 8, 8, in_ch), jnp.float32)
+        temb = (jax.random.normal(key, (2, 24), jnp.float32)
+                if temb_on else None)
+        mod = ResnetBlock(out_ch, num_groups=8, use_temb=temb_on)
+        fus = ResnetBlock(out_ch, num_groups=8, use_temb=temb_on,
+                          fused=True)
+        p = mod.init(key, x, temb)["params"]
+        pf = fus.init(key, x, temb)["params"]
+        assert (jax.tree_util.tree_structure(p)
+                == jax.tree_util.tree_structure(pf))
+        av = mod.apply({"params": p}, x, temb)
+        bv = fus.apply({"params": p}, x, temb)
+        np.testing.assert_allclose(np.asarray(av), np.asarray(bv),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_ff_geglu_kernel_flavors():
+    """Fused FF kernel vs the exact-gelu reference: the A-S erf flavor is
+    f32-exact; the default tanh flavor is within bf16 rounding (2e-3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusiontexturepainting_tpu.ops import ff_geglu as ffm
+
+    rng = np.random.default_rng(0)
+    N, C = 256, 128
+    inner = 4 * C
+    mk = lambda s, sc: jnp.asarray(rng.standard_normal(s) * sc, jnp.float32)
+    x, w0, b0 = mk((N, C), 0.5), mk((C, 2 * inner), 0.05), mk((2 * inner,), 0.1)
+    w2, b2, res = mk((inner, C), 0.05), mk((C,), 0.1), mk((N, C), 1.0)
+    ref = ffm.ff_geglu(x, w0, b0, w2, b2, res, force="xla")
+    prev = ffm._FF_GELU_FLAVOR
+    try:
+        ffm._FF_GELU_FLAVOR = "erf"
+        exact = ffm.ff_geglu(x, w0, b0, w2, b2, res, force="pallas")
+        np.testing.assert_allclose(np.asarray(exact), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+        ffm._FF_GELU_FLAVOR = "tanh"
+        fast = ffm.ff_geglu(x, w0, b0, w2, b2, res, force="pallas")
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   atol=2e-3, rtol=2e-3)
+    finally:
+        ffm._FF_GELU_FLAVOR = prev
+
+
+def test_transformer_block_fused_ff_matches_module():
+    """BasicTransformerBlock(ff_fused=True): same param tree, output
+    within the tanh-gelu tolerance of the module path."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusiontexturepainting_tpu.models.layers import (
+        BasicTransformerBlock,
+    )
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 64, 128), jnp.float32)
+    ctx = jax.random.normal(key, (2, 5, 96), jnp.float32)
+    a = BasicTransformerBlock(4, 32, kv_dim=96)
+    b = BasicTransformerBlock(4, 32, kv_dim=96, ff_fused=True)
+    p = a.init(key, x, ctx)["params"]
+    pf = b.init(key, x, ctx)["params"]
+    assert (jax.tree_util.tree_structure(p)
+            == jax.tree_util.tree_structure(pf))
+    ya = a.apply({"params": p}, x, ctx)
+    yb = b.apply({"params": p}, x, ctx)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                               atol=2e-3, rtol=2e-3)
