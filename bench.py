@@ -52,22 +52,26 @@ def main():
     rng = np.random.default_rng(0)
     model.set_brush(rng.random((args.resolution, args.resolution, 3)).astype(np.float32))
 
-    # Half-painted canvas: the typical mid-stroke stamp.
-    canvas = np.zeros((args.resolution, args.resolution, 4), np.float32)
-    canvas[: args.resolution // 2, :, :3] = rng.random(
-        (args.resolution // 2, args.resolution, 3))
-    canvas[: args.resolution // 2, :, 3] = 1.0
+    # Half-painted canvas in the WIRE format (uint8 RGBA), exactly as the
+    # websocket server hands it to the model (serving/handler.py ->
+    # generate_u8): the benchmark measures the product request path, not
+    # a float convenience wrapper that would add a host-side f32->u8
+    # conversion the server never performs.
+    canvas = np.zeros((args.resolution, args.resolution, 4), np.uint8)
+    canvas[: args.resolution // 2, :, :3] = rng.integers(
+        0, 256, (args.resolution // 2, args.resolution, 3), dtype=np.uint8)
+    canvas[: args.resolution // 2, :, 3] = 255
 
     settings = dict(steps=args.steps, cfg_weight=2.0, tg_weight=1.0,
                     tg_steps=args.steps, context_pad=150)
 
     for _ in range(args.warmup_iters):
-        model.generate(canvas, **settings)
+        model.generate_u8(canvas, **settings)
 
     samples = []
     for _ in range(args.iters):
         tic = time.perf_counter()
-        out = model.generate(canvas, **settings)
+        out = model.generate_u8(canvas, **settings)
         samples.append((time.perf_counter() - tic) * 1000.0)
 
     stats = percentile_stats(samples)

@@ -40,6 +40,9 @@ class UNetConfig:
     # Serving-only: run transformer FeedForwards as one token-blocked
     # GEGLU pallas kernel (ops/ff_geglu.py). No VJP.
     fused_ff: bool = False
+    # Serving-only: fold each Transformer2D's GroupNorm into its 1x1
+    # proj_in, fed by the preceding fused resnet's stats epilogue. No VJP.
+    fused_norm: bool = False
 
     @property
     def time_embed_dim(self) -> int:
@@ -132,6 +135,9 @@ class PipelineConfig:
     # Fused transformer FeedForward (token-blocked GEGLU pallas kernel,
     # ops/ff_geglu.py): the (tokens, 4C) FF intermediate stays in VMEM.
     fused_unet_ff: bool = True
+    # Folded Transformer2D GroupNorm (chained from the resnet stats
+    # epilogue; the affine rides the proj_in matmul).
+    fused_unet_norm: bool = True
 
 
 # CLIP image normalization constants (reference image_encoder.py:75-76).

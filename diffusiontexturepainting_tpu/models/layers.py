@@ -262,6 +262,23 @@ class _DenseParams(nn.Module):
         return k, b
 
 
+class _Conv1x1Params(nn.Module):
+    """Declare-only twin of nn.Conv(features, (1,1))'s param tree for
+    callers that consume the weights algebraically (Transformer2D's
+    folded-GN proj_in)."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, 1, self.in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
 class GEGLU(nn.Module):
     """Gated GELU feed-forward input projection (reference: the SplitGeLU
     TRT plugin, models.py:367-389; XLA fuses this natively)."""
@@ -392,7 +409,11 @@ class ResnetBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb=None):
+    def __call__(self, x, temb=None, return_stats: bool = False):
+        """return_stats=True -> (out, stats-or-None): the fused path's
+        final kernel emits (sum, sumsq) of the post-residual output so a
+        following Transformer2D can fold its GroupNorm without re-reading
+        the tensor (None when this shape fell back to the module leg)."""
         in_ch = x.shape[-1]
         # Conv3x3: pallas implicit-GEMM on TPU (ops/conv3x3.py), XLA conv
         # elsewhere; identical param tree to nn.Conv.
@@ -465,10 +486,10 @@ class ResnetBlock(nn.Module):
                                   dtype=self.dtype,
                                   param_dtype=jnp.float32,
                                   name="conv_shortcut")(x)
-                out, _ = gn_conv_resident(h, a2, c2, w2.astype(dt),
-                                          cb2.astype(dt), res.astype(dt),
-                                          False, True)
-                return out
+                out, st = gn_conv_resident(h, a2, c2, w2.astype(dt),
+                                           cb2.astype(dt), res.astype(dt),
+                                           return_stats, True)
+                return (out, st) if return_stats else out
             # conv2 ineligible (image exceeds the resident budget):
             # whole-module path below.
         h = norm1(x)
@@ -480,7 +501,8 @@ class ResnetBlock(nn.Module):
         if in_ch != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                         param_dtype=jnp.float32, name="conv_shortcut")(x)
-        return x + h
+        out = x + h
+        return (out, None) if return_stats else out
 
 
 class Downsample(nn.Module):
@@ -553,15 +575,41 @@ class Transformer2D(nn.Module):
     kv_dim: Optional[int] = None
     num_groups: int = 32
     ff_fused: bool = False
+    # Serving-only: fold the input GroupNorm into proj_in algebraically -
+    # (x*a + c) @ W = (x*a) @ W + c @ W, where (a, c) come either from the
+    # preceding fused ResnetBlock's stats epilogue (in_stats) or from one
+    # fused (sum, sumsq) pass; the per-channel multiply rides the matmul
+    # operand load, so the normalize-apply HBM round trip disappears.
+    # Identical param tree; no VJP - training keeps the module path.
+    gn_folded: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None):
+    def __call__(self, x, context=None, in_stats=None):
         b, h, w, c = x.shape
         residual = x
-        hidden = GroupNorm32(self.num_groups, eps=1e-6, name="norm")(x)
-        hidden = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
-                         name="proj_in")(hidden)
+        if self.gn_folded:
+            from ..ops.gn_conv_stream import gn_affine_from_stats, stats_of
+
+            dt = self.dtype
+            st = in_stats if in_stats is not None else stats_of(x.astype(dt))
+            scale, gbias = GroupNorm32(self.num_groups, eps=1e-6,
+                                       name="norm")(x, params_only=True)
+            a, cc = gn_affine_from_stats(st, scale, gbias, self.num_groups,
+                                         h * w, 1e-6)
+            k, kb = _Conv1x1Params(c, c, name="proj_in")()
+            w00 = k[0, 0]
+            hidden = jnp.einsum(
+                "bhwc,cd->bhwd",
+                x.astype(dt) * a[:, None, None, :].astype(dt),
+                w00.astype(dt), preferred_element_type=jnp.float32)
+            hidden = (hidden
+                      + (cc @ w00 + kb)[:, None, None, :]).astype(dt)
+        else:
+            hidden = GroupNorm32(self.num_groups, eps=1e-6, name="norm")(x)
+            hidden = nn.Conv(c, (1, 1), dtype=self.dtype,
+                             param_dtype=jnp.float32,
+                             name="proj_in")(hidden)
         if not _T2D_4D:
             hidden = hidden.reshape(b, h * w, c)
         for i in range(self.depth):

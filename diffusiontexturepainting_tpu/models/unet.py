@@ -63,6 +63,7 @@ class UNet2DCondition(nn.Module):
                                           kv_dim=cfg.cross_attention_dim,
                                           num_groups=cfg.norm_num_groups,
                                           ff_fused=cfg.fused_ff,
+                                          gn_folded=cfg.fused_norm,
                                           dtype=self.dtype))
             if i < len(cfg.block_out_channels) - 1:
                 setattr(self, f"down_{i}_downsample",
@@ -76,6 +77,7 @@ class UNet2DCondition(nn.Module):
                                       kv_dim=cfg.cross_attention_dim,
                                       num_groups=cfg.norm_num_groups,
                                       ff_fused=cfg.fused_ff,
+                                      gn_folded=cfg.fused_norm,
                                       dtype=self.dtype)
         self.mid_resnet_1 = ResnetBlock(ch, cfg.norm_num_groups,
                                         fused=cfg.fused_resnet,
@@ -94,6 +96,7 @@ class UNet2DCondition(nn.Module):
                                           kv_dim=cfg.cross_attention_dim,
                                           num_groups=cfg.norm_num_groups,
                                           ff_fused=cfg.fused_ff,
+                                          gn_folded=cfg.fused_norm,
                                           dtype=self.dtype))
             if i < len(rev_channels) - 1:
                 setattr(self, f"up_{i}_upsample", Upsample(ch, dtype=self.dtype))
@@ -114,6 +117,16 @@ class UNet2DCondition(nn.Module):
         temb = self.time_embedding_linear_1(temb.astype(self.dtype))
         return self.time_embedding_linear_2(nn.silu(temb))
 
+    def _res_attn(self, resnet, attn, h, temb, ctx):
+        """resnet [-> attn]; with fused_norm the resnet's stats epilogue
+        feeds the Transformer2D's folded GroupNorm, so the norm needs no
+        extra pass over the tensor."""
+        if attn is not None and self.cfg.fused_norm:
+            h, st = resnet(h, temb, return_stats=True)
+            return attn(h, ctx, in_stats=st)
+        h = resnet(h, temb)
+        return attn(h, ctx) if attn is not None else h
+
     def _level0(self, sample, temb, ctx):
         """conv_in + outermost down level (no downsample); returns
         (h, skips) - everything the shallow pass shares with the full pass."""
@@ -121,9 +134,10 @@ class UNet2DCondition(nn.Module):
         h = self.conv_in(sample.astype(self.dtype))
         skips = [h]
         for j in range(cfg.layers_per_block):
-            h = getattr(self, f"down_0_resnet_{j}")(h, temb)
-            if cfg.attn_down[0]:
-                h = getattr(self, f"down_0_attn_{j}")(h, ctx)
+            h = self._res_attn(
+                getattr(self, f"down_0_resnet_{j}"),
+                getattr(self, f"down_0_attn_{j}") if cfg.attn_down[0]
+                else None, h, temb, ctx)
             skips.append(h)
         return h, skips
 
@@ -134,9 +148,10 @@ class UNet2DCondition(nn.Module):
         rev_attn = tuple(reversed(cfg.attn_down))
         for j in range(cfg.layers_per_block + 1):
             h = jnp.concatenate([h, skips.pop()], axis=-1)
-            h = getattr(self, f"up_{i}_resnet_{j}")(h, temb)
-            if rev_attn[i]:
-                h = getattr(self, f"up_{i}_attn_{j}")(h, ctx)
+            h = self._res_attn(
+                getattr(self, f"up_{i}_resnet_{j}"),
+                getattr(self, f"up_{i}_attn_{j}") if rev_attn[i] else None,
+                h, temb, ctx)
         h = self.conv_norm_out(h)
         h = self.conv_out(nn.silu(h))
         return h.astype(jnp.float32)
@@ -160,13 +175,13 @@ class UNet2DCondition(nn.Module):
             h = getattr(self, f"down_{i - 1}_downsample")(h)
             skips.append(h)
             for j in range(cfg.layers_per_block):
-                h = getattr(self, f"down_{i}_resnet_{j}")(h, temb)
-                if cfg.attn_down[i]:
-                    h = getattr(self, f"down_{i}_attn_{j}")(h, ctx)
+                h = self._res_attn(
+                    getattr(self, f"down_{i}_resnet_{j}"),
+                    getattr(self, f"down_{i}_attn_{j}") if cfg.attn_down[i]
+                    else None, h, temb, ctx)
                 skips.append(h)
 
-        h = self.mid_resnet_0(h, temb)
-        h = self.mid_attn(h, ctx)
+        h = self._res_attn(self.mid_resnet_0, self.mid_attn, h, temb, ctx)
         h = self.mid_resnet_1(h, temb)
 
         rev_channels = tuple(reversed(cfg.block_out_channels))
@@ -175,9 +190,10 @@ class UNet2DCondition(nn.Module):
         for i in range(n_levels - 1):
             for j in range(cfg.layers_per_block + 1):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
-                h = getattr(self, f"up_{i}_resnet_{j}")(h, temb)
-                if rev_attn[i]:
-                    h = getattr(self, f"up_{i}_attn_{j}")(h, ctx)
+                h = self._res_attn(
+                    getattr(self, f"up_{i}_resnet_{j}"),
+                    getattr(self, f"up_{i}_attn_{j}") if rev_attn[i]
+                    else None, h, temb, ctx)
             h = getattr(self, f"up_{i}_upsample")(h)
 
         deep_cache = h  # (B, H, W, rev_channels[-2]) entering the last level

@@ -133,18 +133,25 @@ def _dense1x1(x, p, dtype):
     return (y + p["bias"].astype(jnp.float32)).astype(dtype)
 
 
-def _fused_resnet(p, h, stats, num_groups, dtype, eps=1e-6):
+def _fused_resnet(p, h, stats, num_groups, dtype, eps=1e-6, in_w=0,
+                  out_wpad=False):
     """One ResnetBlock (no temb) as two fused kernels; returns
-    (out, out_stats)."""
+    (out, out_stats).
+
+    in_w/out_wpad thread the width-padded chained layout
+    (ops/gn_conv_stream.py): conv1 always HANDS conv2 a wpadded tensor
+    (no pad pass between them), and the block's input/output layouts
+    follow the caller so whole encoder levels chain pad-free."""
     from ..ops.gn_conv_stream import gn_affine_from_stats, gn_conv_stream
 
-    n_spatial = h.shape[1] * h.shape[2]
+    w_int = in_w if in_w else h.shape[2]
+    n_spatial = h.shape[1] * w_int
     a1, c1 = gn_affine_from_stats(stats, p["norm1"]["norm"]["scale"],
                                   p["norm1"]["norm"]["bias"], num_groups,
                                   n_spatial, eps)
     k1 = p["conv1"]["kernel"].astype(dtype)
     h1, s1 = gn_conv_stream(h, a1, c1, k1, p["conv1"]["bias"].astype(dtype),
-                            None, True)
+                            None, True, in_w=in_w, out_wpad=True)
     a2, c2 = gn_affine_from_stats(s1, p["norm2"]["norm"]["scale"],
                                   p["norm2"]["norm"]["bias"], num_groups,
                                   n_spatial, eps)
@@ -152,7 +159,8 @@ def _fused_resnet(p, h, stats, num_groups, dtype, eps=1e-6):
                 if "conv_shortcut" in p else h)
     k2 = p["conv2"]["kernel"].astype(dtype)
     return gn_conv_stream(h1, a2, c2, k2, p["conv2"]["bias"].astype(dtype),
-                          residual, True)
+                          residual, True, in_w=w_int, out_wpad=out_wpad,
+                          res_wpad=bool(in_w))
 
 
 def _fused_mid(p, h, stats, num_groups, dtype):
@@ -196,15 +204,32 @@ def fused_encode(params, images, cfg: VAEConfig = VAEConfig(),
     g = cfg.norm_num_groups
     h = _conv_in_im2col(images, p["conv_in"], dtype)
     stats = stats_of(h)
+    n_levels = len(cfg.block_out_channels)
+    cur_w = 0  # 0 = plain layout; else the wpadded interior width
     for i, ch in enumerate(cfg.block_out_channels):
+        # Levels 0..n-2 chain the width-padded layout between resnet
+        # convs and through the streamed stride-2 downsample (which also
+        # emits the next level's GroupNorm stats), so levels exchange
+        # tensors with no XLA pad or stats passes at all; the small
+        # final level (and mid) stay in the plain layout.
+        chained = i < n_levels - 1
+        w_int = cur_w if cur_w else h.shape[2]
         for j in range(cfg.layers_per_block):
             h, stats = _fused_resnet(p[f"down_{i}_resnet_{j}"], h, stats, g,
-                                     dtype)
-        if i < len(cfg.block_out_channels) - 1:
-            hp = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
-            h = _conv(hp, p[f"down_{i}_downsample"]["conv"], dtype,
-                      strides=(2, 2), padding="VALID")
+                                     dtype, in_w=cur_w, out_wpad=chained)
+            if chained:
+                cur_w = w_int
+        if i < n_levels - 1:
+            # XLA strided conv (downconv_stream's pallas path is blocked
+            # on Mosaic's 32-bit-only strided loads); the wpadded input's
+            # cols [1, w+2) already carry the (0,1) right pad, and the
+            # row pad fuses into the conv op - no pad pass either way.
+            dp = p[f"down_{i}_downsample"]["conv"]
+            hp = h[:, :, 1:w_int + 2, :] if cur_w else h
+            h = _conv(hp, dp, dtype, strides=(2, 2),
+                      padding=((0, 1), (0, 0) if cur_w else (0, 1)))
             stats = stats_of(h)
+            cur_w = 0
     h, stats = _fused_mid(p["mid"], h, stats, g, dtype)
     h = _fused_norm_silu_conv(p["conv_norm_out"], p["conv_out"], h, stats, g,
                               dtype)

@@ -117,7 +117,12 @@ def ff_geglu_plan(n_tokens: int, dim: int, inner: int):
                 continue
             wdbl = 2 if inner > bi else 1
             wpan = (2 * dim * bi + bi * dim) * 2 * wdbl
-            if xb + accb + ores + wpan <= 14 * 1024 * 1024:
+            # in-kernel f32 temporaries (v, g, gelu poly, h): ~4 live
+            # (nt, bi) f32 buffers on the scoped-vmem "stack" - omitting
+            # them OOMed the 16 MB limit by 792 KB at the L2 shape
+            # (768 tokens x 1280 x 5120) inside the full stamp program.
+            tmp = 4 * nt * bi * 4
+            if xb + accb + ores + wpan + tmp <= 14 * 1024 * 1024:
                 return nt, bi
     return None
 

@@ -127,7 +127,8 @@ def _prologue_rows(Wp: int, Cin: int, budget: int = 2 * 1024 * 1024) -> int:
 
 
 def _kernel(x_hbm, a_ref, c_ref, w_ref, b_ref, *rest,
-            H, W, H_T, Wp, Cin, N_T, has_res, want_stats, apply_gn):
+            H, W, H_T, Wp, Cin, N_T, has_res, want_stats, apply_gn,
+            in_wpad=False, out_wpad=False, res_wpad=False):
     if has_res and want_stats:
         res_ref, out_ref, st_ref, xwin, sem = rest
     elif has_res:
@@ -149,20 +150,75 @@ def _kernel(x_hbm, a_ref, c_ref, w_ref, b_ref, *rest,
     # grid step computes (guide "Patterns: Double Buffering").
     slot = jax.lax.rem(hi, 2)
 
-    def get_dma(s, h):
-        return pltpu.make_async_copy(
-            x_hbm.at[bb, pl.ds(pl.multiple_of(h * H_T, H_T), H_T + 2)],
-            xwin.at[s], sem.at[s])
+    if in_wpad:
+        # x is WIDTH-padded only, (B, H, Wp, C) with content cols
+        # [1, W+1): the row halo is synthesized here with edge-clamped
+        # DMAs (first/last row tile copies one fewer row and zeroes the
+        # out-of-image window row), so no XLA row-pad pass exists.
+        def run_dma(s, h, do_wait):
+            go = (lambda d: d.wait()) if do_wait else (lambda d: d.start())
+            h = jnp.int32(h)  # traced even for the literal h=0 call, so
+            # every branch predicate is a traced bool and the disabled
+            # branches' dynamic offsets are never evaluated in python
+            first, last = h == 0, h + 1 >= num_h
+
+            # num_h is static: only emit branches whose (static) slice
+            # sizes are feasible - a dead branch would still trace.
+            if num_h >= 3:
+                @pl.when(~first & ~last)
+                def _mid():
+                    go(pltpu.make_async_copy(
+                        x_hbm.at[bb, pl.ds(h * H_T - 1, H_T + 2)],
+                        xwin.at[s], sem.at[s]))
+
+            if num_h >= 2:
+                @pl.when(first & ~last)
+                def _first_blk():
+                    go(pltpu.make_async_copy(
+                        x_hbm.at[bb, pl.ds(0, H_T + 1)],
+                        xwin.at[s, pl.ds(1, H_T + 1)], sem.at[s]))
+
+                @pl.when(last & ~first)
+                def _last_blk():
+                    go(pltpu.make_async_copy(
+                        x_hbm.at[bb, pl.ds(h * H_T - 1, H_T + 1)],
+                        xwin.at[s, pl.ds(0, H_T + 1)], sem.at[s]))
+            else:
+                @pl.when(first & last)
+                def _only_blk():
+                    go(pltpu.make_async_copy(
+                        x_hbm.at[bb, pl.ds(0, H_T)],
+                        xwin.at[s, pl.ds(1, H_T)], sem.at[s]))
+    else:
+        def run_dma(s, h, do_wait):
+            d = pltpu.make_async_copy(
+                x_hbm.at[bb, pl.ds(pl.multiple_of(h * H_T, H_T), H_T + 2)],
+                xwin.at[s], sem.at[s])
+            d.wait() if do_wait else d.start()
 
     @pl.when(hi == 0)
     def _first():
-        get_dma(0, 0).start()
+        run_dma(0, 0, False)
 
     @pl.when(hi + 1 < num_h)
     def _prefetch():
-        get_dma(1 - slot, hi + 1).start()
+        run_dma(1 - slot, hi + 1, False)
 
-    get_dma(slot, hi).wait()
+    run_dma(slot, hi, True)
+
+    if in_wpad:
+        # zero the window rows the clamped DMA never filled (the
+        # prologue's interior mask multiplies them anyway; this guards
+        # against stale inf/NaN scratch making 0*x = NaN).
+        zrow = jnp.zeros((1, Wp, Cin), xwin.dtype)
+
+        @pl.when(hi == 0)
+        def _ztop():
+            xwin[slot, 0:1] = zrow
+
+        @pl.when(hi + 1 >= num_h)
+        def _zbot():
+            xwin[slot, H_T + 1:H_T + 2] = zrow
 
     # Prologue in f32 row-chunks: affine -> SiLU -> zero the SAME border.
     if apply_gn:
@@ -191,7 +247,11 @@ def _kernel(x_hbm, a_ref, c_ref, w_ref, b_ref, *rest,
         acc = d if acc is None else acc + d
     y = acc + b_ref[0].astype(jnp.float32)[None]
     if res_ref is not None:
-        y = y + res_ref[0].reshape(H_T * W, N_T).astype(jnp.float32)
+        if res_wpad:
+            r = res_ref[0, :, pl.ds(1, W), :]  # interior of a wpadded res
+        else:
+            r = res_ref[0]
+        y = y + r.reshape(H_T * W, N_T).astype(jnp.float32)
 
     if st_ref is not None:
         @pl.when(hi == 0)
@@ -203,7 +263,16 @@ def _kernel(x_hbm, a_ref, c_ref, w_ref, b_ref, *rest,
         st_ref[0, 0:1, :] += s1
         st_ref[0, 1:2, :] += s2
 
-    out_ref[0] = y.reshape(H_T, W, N_T).astype(out_ref.dtype)
+    y3 = y.reshape(H_T, W, N_T).astype(out_ref.dtype)
+    if out_wpad:
+        # emit the width-padded layout directly: content at cols
+        # [1, W+1), zero borders - the consumer then needs no XLA pad.
+        # One full-tile store (VPU concat) pipelines better than three
+        # partial stores.
+        z = lambda n: jnp.zeros((H_T, n, N_T), out_ref.dtype)
+        out_ref[0] = jnp.concatenate([z(1), y3, z(Wp - W - 1)], axis=1)
+    else:
+        out_ref[0] = y3
 
 
 def stream_fused_plan(x_shape, w_shape, itemsize: int = 2):
@@ -235,8 +304,10 @@ def stream_fused_plan(x_shape, w_shape, itemsize: int = 2):
         tmp = _prologue_rows(Wp, Cin) * Wp * Cin * (4 + 4 + itemsize)
         for nt in nts:
             accb = ht * W * nt * 4                  # f32 tap accumulator
-            outb = ht * W * nt * itemsize * 2       # double-buffered out
-            resb = ht * W * nt * itemsize * 2
+            # out/res tiles budgeted at the width-padded Wp so the same
+            # plan stays valid for the chained (wpadded) layouts
+            outb = ht * Wp * nt * itemsize * 2      # double-buffered out
+            resb = ht * Wp * nt * itemsize * 2
             wb = 9 * Cin * nt * itemsize * 2
             if win + accb + outb + resb + wb + tmp <= 13 * 1024 * 1024:
                 return ht, nt
@@ -244,13 +315,22 @@ def stream_fused_plan(x_shape, w_shape, itemsize: int = 2):
 
 
 def _stream_fused_pallas(x, a, c, w, b, residual, want_stats, apply_gn,
-                         plan, interpret=False):
-    B, H, W, Cin = x.shape
+                         plan, interpret=False, in_w=0, out_wpad=False,
+                         res_wpad=False):
+    if in_w:
+        B, H, Wp_in, Cin = x.shape
+        W = in_w
+    else:
+        B, H, W, Cin = x.shape
     Cout = w.shape[-1]
     H_T, N_T = plan
     wpad = (-(W + 2)) % 8
     Wp = W + 2 + wpad
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + wpad), (0, 0)))
+    if in_w:
+        assert Wp_in == Wp, (Wp_in, Wp)
+        xp = x  # already width-padded; the kernel clamps the row halo
+    else:
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + wpad), (0, 0)))
     w9 = w.reshape(9, Cin, Cout)
     b2 = (b if b is not None else jnp.zeros((Cout,), x.dtype)).reshape(1, Cout)
     a2 = (a.astype(jnp.float32) if a is not None else
@@ -261,7 +341,8 @@ def _stream_fused_pallas(x, a, c, w, b, residual, want_stats, apply_gn,
     kernel = functools.partial(
         _kernel, H=H, W=W, H_T=H_T, Wp=Wp, Cin=Cin, N_T=N_T,
         has_res=residual is not None, want_stats=want_stats,
-        apply_gn=apply_gn)
+        apply_gn=apply_gn, in_wpad=bool(in_w), out_wpad=out_wpad,
+        res_wpad=res_wpad)
 
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
@@ -276,13 +357,15 @@ def _stream_fused_pallas(x, a, c, w, b, residual, want_stats, apply_gn,
     ]
     args = [xp, a2, c2, w9, b2]
     if residual is not None:
-        in_specs.append(pl.BlockSpec((1, H_T, W, N_T),
+        rw = Wp if res_wpad else W
+        in_specs.append(pl.BlockSpec((1, H_T, rw, N_T),
                                      lambda bb, n, h: (bb, h, 0, n),
                                      memory_space=pltpu.VMEM))
         args.append(residual)
 
-    out_shapes = [jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype)]
-    out_specs = [pl.BlockSpec((1, H_T, W, N_T), lambda bb, n, h: (bb, h, 0, n),
+    ow = Wp if out_wpad else W
+    out_shapes = [jax.ShapeDtypeStruct((B, H, ow, Cout), x.dtype)]
+    out_specs = [pl.BlockSpec((1, H_T, ow, N_T), lambda bb, n, h: (bb, h, 0, n),
                               memory_space=pltpu.VMEM)]
     if want_stats:
         out_shapes.append(
@@ -313,9 +396,14 @@ def _stream_fused_pallas(x, a, c, w, b, residual, want_stats, apply_gn,
     return out if want_stats else (out[0], None)
 
 
-def _reference(x, a, c, w, b, residual, want_stats, apply_gn):
+def _reference(x, a, c, w, b, residual, want_stats, apply_gn, in_w=0,
+               out_wpad=False, res_wpad=False):
     """XLA path, numerically matching the kernel (f32 prologue, bf16
     taps, f32 accumulate, stats on the pre-cast f32 output)."""
+    if in_w:
+        x = x[:, :, 1:in_w + 1, :]
+    if res_wpad and residual is not None:
+        residual = residual[:, :, 1:x.shape[2] + 1, :]
     if apply_gn:
         v = x.astype(jnp.float32) * a[:, None, None, :] + c[:, None, None, :]
         v = (v * jax.nn.sigmoid(v)).astype(x.dtype)
@@ -335,14 +423,21 @@ def _reference(x, a, c, w, b, residual, want_stats, apply_gn):
         zeros = jnp.zeros((x.shape[0], _STATS_ROWS - 2, y.shape[-1]),
                           jnp.float32)
         stats = jnp.concatenate([s1[:, None], s2[:, None], zeros], axis=1)
-    return y.astype(x.dtype), stats
+    y = y.astype(x.dtype)
+    if out_wpad:
+        W = y.shape[2]
+        y = jnp.pad(y, ((0, 0), (0, 0), (1, 1 + (-(W + 2)) % 8), (0, 0)))
+    return y, stats
 
 
 def _gn_conv_stream_dispatch(x, a, c, w, b, residual, want_stats, apply_gn,
-                             force):
+                             force, in_w=0, out_wpad=False, res_wpad=False):
     if force == "xla":
-        return _reference(x, a, c, w, b, residual, want_stats, apply_gn)
-    plan = stream_fused_plan(x.shape, w.shape, x.dtype.itemsize)
+        return _reference(x, a, c, w, b, residual, want_stats, apply_gn,
+                          in_w, out_wpad, res_wpad)
+    shape4plan = ((x.shape[0], x.shape[1], in_w, x.shape[3]) if in_w
+                  else x.shape)
+    plan = stream_fused_plan(shape4plan, w.shape, x.dtype.itemsize)
     backend = jax.default_backend()
     if force == "pallas":
         if plan is None:
@@ -350,40 +445,55 @@ def _gn_conv_stream_dispatch(x, a, c, w, b, residual, want_stats, apply_gn,
                 f"gn_conv_stream unsupported for {x.shape} x {w.shape}")
         return _stream_fused_pallas(x, a, c, w, b, residual, want_stats,
                                     apply_gn, plan,
-                                    interpret=(backend != "tpu"))
+                                    interpret=(backend != "tpu"),
+                                    in_w=in_w, out_wpad=out_wpad,
+                                    res_wpad=res_wpad)
     if plan is not None and backend == "tpu":
         return _stream_fused_pallas(x, a, c, w, b, residual, want_stats,
-                                    apply_gn, plan)
-    return _reference(x, a, c, w, b, residual, want_stats, apply_gn)
+                                    apply_gn, plan, in_w=in_w,
+                                    out_wpad=out_wpad, res_wpad=res_wpad)
+    return _reference(x, a, c, w, b, residual, want_stats, apply_gn,
+                      in_w, out_wpad, res_wpad)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
 def gn_conv_stream(x, a, c, w, b, residual, want_stats=True,
-                   apply_gn=True, force="auto"):
+                   apply_gn=True, force="auto", in_w=0, out_wpad=False,
+                   res_wpad=False):
     """silu(x*a + c) -> 3x3 SAME conv(w, b) [+ residual], returning
     (out, stats) where stats are the (sum, sumsq) GroupNorm inputs of the
     NEXT layer ((B, 8, Cout) f32; rows 0/1 used) or None.
 
     a, c: (B, Cin) f32 folded GroupNorm affine (gn_affine_from_stats).
     apply_gn=False skips the prologue entirely (plain conv + epilogue).
+
+    Width-padded chaining: in_w > 0 declares x as (B, H, Wp, Cin) with
+    interior width in_w at cols [1, in_w+1) and zero borders (the row
+    halo is synthesized by edge-clamped window DMA); out_wpad emits the
+    same layout; res_wpad declares the residual wpadded. Chained convs
+    (VAE encoder resnets) then exchange tensors with ZERO XLA pad passes.
     Serving-only forward on the pallas path; the VJP differentiates the
     XLA reference (training uses the Flax modules, not this op).
     """
     return _gn_conv_stream_dispatch(x, a, c, w, b, residual, want_stats,
-                                    apply_gn, force)
+                                    apply_gn, force, in_w, out_wpad,
+                                    res_wpad)
 
 
-def _fwd(x, a, c, w, b, residual, want_stats, apply_gn, force):
+def _fwd(x, a, c, w, b, residual, want_stats, apply_gn, force, in_w,
+         out_wpad, res_wpad):
     out = _gn_conv_stream_dispatch(x, a, c, w, b, residual, want_stats,
-                                   apply_gn, force)
+                                   apply_gn, force, in_w, out_wpad,
+                                   res_wpad)
     return out, (x, a, c, w, b, residual)
 
 
-def _bwd(want_stats, apply_gn, force, res, g):
+def _bwd(want_stats, apply_gn, force, in_w, out_wpad, res_wpad, res, g):
     x, a, c, w, b, residual = res
     args = (x, a, c, w, b, residual)
     _, vjp = jax.vjp(
-        lambda *aa: _reference(*aa, want_stats, apply_gn), *args)
+        lambda *aa: _reference(*aa, want_stats, apply_gn, in_w, out_wpad,
+                               res_wpad), *args)
     return vjp(g)
 
 
@@ -568,3 +678,249 @@ def upconv_stream(x, w, b, want_stats=True, force="auto"):
         if plan is not None and backend == "tpu":
             return _upconv_stream_pallas(x, w, b, want_stats, plan)
     return _upconv_stream_reference(x, w, b, want_stats)
+
+
+# ---------------------------------------------------------------------------
+# Streaming stride-2 3x3 downsample conv with stats epilogue.
+#
+# The encoder's three level-transition convs (Downsample2D with the
+# (0,1),(0,1) asymmetric pad, reference vae blocks) ran as XLA strided
+# convs at 23-50% MFU - the strided window access defeats XLA's tiling.
+# This kernel streams (2*H_T+1)-row input windows, splits them into the
+# four row/column parity planes with in-VMEM reshapes, and computes each
+# of the 9 taps as a DENSE (H_T*Wout, Cin) @ (Cin, N_T) matmul over the
+# matching parity plane - the MXU never sees a stride. Consumes and
+# emits the width-padded chained layout, and emits (sum, sumsq) so the
+# next level's GroupNorm needs no extra pass.
+# ---------------------------------------------------------------------------
+
+
+def _downconv_kernel(x_hbm, w_ref, b_ref, *rest, H, Wout, W, Wp, Cin, N_T,
+                     H_T, want_stats, in_wpad, out_wpad, Wp_out):
+    if want_stats:
+        out_ref, st_ref, xwin, sem = rest
+    else:
+        (out_ref, xwin, sem), st_ref = rest, None
+
+    bb = pl.program_id(0)
+    hi = pl.program_id(2)
+    num_h = pl.num_programs(2)
+    slot = jax.lax.rem(hi, 2)
+    win_r = 2 * H_T + 2  # rows used: 2*H_T+1 (+1 spare to keep it even)
+
+    def run_dma(s, h, do_wait):
+        go = (lambda d: d.wait()) if do_wait else (lambda d: d.start())
+        h = jnp.int32(h)
+        last = h + 1 >= num_h
+        src = lambda rows: x_hbm.at[bb, rows]
+        if in_wpad:
+            dst = lambda rows: xwin.at[s, rows]
+        else:
+            dst = lambda rows: xwin.at[s, rows, pl.ds(1, W)]
+
+        if num_h > 1:  # static: a dead branch would still trace its slice
+            @pl.when(~last)
+            def _mid():
+                go(pltpu.make_async_copy(
+                    src(pl.ds(h * 2 * H_T, 2 * H_T + 1)),
+                    dst(pl.ds(0, 2 * H_T + 1)), sem.at[s]))
+
+        @pl.when(last)
+        def _last():
+            # bottom tile: input row H is the (0,1) pad row - absent from
+            # x; copy one fewer row, zero the window row instead.
+            go(pltpu.make_async_copy(src(pl.ds(h * 2 * H_T, 2 * H_T)),
+                                     dst(pl.ds(0, 2 * H_T)), sem.at[s]))
+
+    @pl.when(hi == 0)
+    def _first():
+        run_dma(0, 0, False)
+
+    @pl.when(hi + 1 < num_h)
+    def _prefetch():
+        run_dma(1 - slot, hi + 1, False)
+
+    run_dma(slot, hi, True)
+
+    @pl.when(hi + 1 >= num_h)
+    def _zbot():
+        xwin[slot, 2 * H_T:2 * H_T + 1] = jnp.zeros((1, Wp, Cin), xwin.dtype)
+
+    if not in_wpad:
+        # plain input was DMA'd into cols [1, W+1); the only border col a
+        # tap reads is W+1 (the (0,1) right pad)
+        xwin[slot, :, W + 1:W + 2] = jnp.zeros((win_r, 1, Cin), xwin.dtype)
+
+    if want_stats:
+        @pl.when(hi == 0)
+        def _zero():
+            st_ref[...] = jnp.zeros_like(st_ref)
+
+    # Each tap reads its stride-2 lattice directly (Mosaic strided
+    # loads): out(i,j) taps window (2i+di, 2j+dj+1). No parity-plane
+    # materialization - the earlier reshape-based extraction put ~34
+    # bytes/element of temporaries on the scoped-vmem stack and OOMed.
+    acc = None
+    for k in range(9):
+        di, dj = divmod(k, 3)
+        slab = xwin[slot, pl.Slice(di, H_T, 2), pl.Slice(dj + 1, Wout, 2), :]
+        d = jnp.dot(slab.reshape(H_T * Wout, Cin), w_ref[k],
+                    preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
+    y = acc + b_ref[0].astype(jnp.float32)[None]
+
+    if st_ref is not None:
+        st_ref[0, 0:1, :] += jnp.sum(y, axis=0)[None]
+        st_ref[0, 1:2, :] += jnp.sum(y * y, axis=0)[None]
+
+    y3 = y.reshape(H_T, Wout, N_T).astype(out_ref.dtype)
+    if out_wpad:
+        z = lambda n: jnp.zeros((H_T, n, N_T), out_ref.dtype)
+        out_ref[0] = jnp.concatenate([z(1), y3, z(Wp_out - Wout - 1)],
+                                     axis=1)
+    else:
+        out_ref[0] = y3
+
+
+def downconv_stream_plan(x_shape, w_shape, itemsize: int = 2):
+    """(H_T, N_T) or None; x_shape is the INTERIOR shape (B, H, W, Cin)."""
+    if len(x_shape) != 4 or len(w_shape) != 4:
+        return None
+    B, H, W, Cin = x_shape
+    kh, kw, wcin, Cout = w_shape
+    if (kh, kw) != (3, 3) or wcin != Cin:
+        return None
+    if H < 16 or W < 16 or H % 2 or W % 2 or Cin < 16 or Cout < 128:
+        return None
+    wpad = (-(W + 2)) % 8
+    Wp = W + 2 + wpad
+    nts = [nt for nt in (512, 256, 128)
+           if Cout % nt == 0 and 9 * Cin * nt * itemsize * 2
+           <= 5 * 1024 * 1024]
+    if not nts:
+        return None
+    Hout, Wout = H // 2, W // 2
+    wpo = (-(Wout + 2)) % 8
+    Wp_out = Wout + 2 + wpo
+    for ht in (32, 16, 8, 4):
+        if Hout % ht:
+            continue
+        win = 2 * (2 * ht + 2) * Wp * Cin * itemsize
+        # strided-load slab temporaries (a few live at once) + f32 casts
+        tmp = 3 * ht * Wout * Cin * itemsize + ht * Wout * Cin * 4
+        for nt in nts:
+            wb = 9 * Cin * nt * itemsize * 2
+            accb = ht * Wout * nt * 4
+            outb = 2 * ht * Wp_out * nt * itemsize * 2
+            if win + tmp + accb + outb + wb <= 12 * 1024 * 1024:
+                return ht, nt
+    return None
+
+
+def _downconv_stream_pallas(x, w, b, want_stats, plan, interpret=False,
+                            in_w=0, out_wpad=False):
+    B = x.shape[0]
+    H = x.shape[1]
+    W = in_w if in_w else x.shape[2]
+    Cin = x.shape[-1]
+    Cout = w.shape[-1]
+    H_T, N_T = plan
+    wpad = (-(W + 2)) % 8
+    Wp = W + 2 + wpad
+    if in_w:
+        assert x.shape[2] == Wp, (x.shape, Wp)
+    Hout, Wout = H // 2, W // 2
+    Wp_out = Wout + 2 + (-(Wout + 2)) % 8
+    w9 = w.reshape(9, Cin, Cout)
+    b2 = (b if b is not None else jnp.zeros((Cout,), x.dtype)).reshape(1, Cout)
+    kernel = functools.partial(
+        _downconv_kernel, H=H, Wout=Wout, W=W, Wp=Wp, Cin=Cin, N_T=N_T,
+        H_T=H_T, want_stats=want_stats, in_wpad=bool(in_w),
+        out_wpad=out_wpad, Wp_out=Wp_out)
+    ow = Wp_out if out_wpad else Wout
+    out_specs = [pl.BlockSpec((1, H_T, ow, N_T), lambda bb, n, h: (bb, h, 0, n),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((B, Hout, ow, Cout), x.dtype)]
+    if want_stats:
+        out_specs.append(pl.BlockSpec((1, _STATS_ROWS, N_T),
+                                      lambda bb, n, h: (bb, 0, n),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((B, _STATS_ROWS, Cout), jnp.float32))
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, Cout // N_T, Hout // H_T),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((9, Cin, N_T), lambda bb, n, h: (0, 0, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_T), lambda bb, n, h: (0, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2 * H_T + 2, Wp, Cin), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Hout * Wout * Cin * Cout * 9,
+            bytes_accessed=(x.size + w9.size + B * Hout * Wout * Cout)
+            * x.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(x, w9, b2)
+    if want_stats:
+        return out[0], out[1]
+    return (out if not isinstance(out, (tuple, list)) else out[0]), None
+
+
+def _downconv_reference(x, w, b, want_stats, in_w=0, out_wpad=False):
+    if in_w:
+        x = x[:, :, 1:in_w + 1, :]
+    xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    y = lax.conv_general_dilated(
+        xp, w, (2, 2), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    stats = None
+    if want_stats:
+        s1 = jnp.sum(y, axis=(1, 2))
+        s2 = jnp.sum(jnp.square(y), axis=(1, 2))
+        zeros = jnp.zeros((x.shape[0], _STATS_ROWS - 2, y.shape[-1]),
+                          jnp.float32)
+        stats = jnp.concatenate([s1[:, None], s2[:, None], zeros], axis=1)
+    y = y.astype(x.dtype)
+    if out_wpad:
+        Wout = y.shape[2]
+        y = jnp.pad(y, ((0, 0), (0, 0), (1, 1 + (-(Wout + 2)) % 8), (0, 0)))
+    return y, stats
+
+
+def downconv_stream(x, w, b, want_stats=True, force="auto", in_w=0,
+                    out_wpad=False):
+    """Stride-2 3x3 conv with the encoder's (0,1),(0,1) asymmetric pad
+    (diffusers Downsample2D), streamed; returns
+    (out (B,H/2,W/2[,wpadded],Cout), stats-or-None). in_w/out_wpad use
+    the width-padded chained layout (see gn_conv_stream). Serving-only
+    (no VJP - training uses the Flax modules).
+
+    EXPERIMENTAL: the pallas path is interpret-validated but NOT
+    selected on TPU - its stride-2 tap reads hit Mosaic's "strided load
+    with non 32-bit data" limitation for bf16 windows (strided refs and
+    strided DMA slices are both unimplemented as of jax 0.9); the
+    encoder keeps the XLA strided conv until Mosaic grows 16-bit
+    strided loads."""
+    int_shape = (x.shape[0], x.shape[1], in_w if in_w else x.shape[2],
+                 x.shape[-1])
+    if force == "pallas":
+        plan = downconv_stream_plan(int_shape, w.shape, x.dtype.itemsize)
+        if plan is None:
+            raise ValueError(
+                f"downconv_stream unsupported for {x.shape} x {w.shape}")
+        return _downconv_stream_pallas(
+            x, w, b, want_stats, plan,
+            interpret=(jax.default_backend() != "tpu"),
+            in_w=in_w, out_wpad=out_wpad)
+    return _downconv_reference(x, w, b, want_stats, in_w, out_wpad)

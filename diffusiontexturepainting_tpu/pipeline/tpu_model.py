@@ -68,6 +68,8 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
             ucfg = dataclasses.replace(ucfg, fused_resnet=True)
         if self.config.fused_unet_ff:
             ucfg = dataclasses.replace(ucfg, fused_ff=True)
+        if self.config.fused_unet_norm:
+            ucfg = dataclasses.replace(ucfg, fused_norm=True)
         self.unet = UNet2DCondition(ucfg, dtype=dtype)
         self.vae_encoder = VAEEncoder(vcfg, dtype=dtype)
         self.vae_decoder = VAEDecoder(vcfg, dtype=dtype)

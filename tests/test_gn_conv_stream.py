@@ -195,3 +195,69 @@ def test_prologue_chunk_wide_shape():
                                atol=1e-3, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(st[:, :2]), np.asarray(ref_st[:, :2]),
                                atol=1e-2, rtol=1e-3)
+
+
+@pytest.mark.parametrize("chain_in,chain_res", [(False, False),
+                                                (True, False), (True, True)])
+def test_kernel_wpadded_layouts(chain_in, chain_res):
+    """Width-padded chained layouts (in_w / out_wpad / res_wpad) vs the
+    plain-layout reference; H spans 3 row tiles so the edge-clamped
+    first/middle/last window DMAs all execute."""
+    B, H, W, Cin, Cout = 1, 192, 8, 128, 128
+    x = _rand((B, H, W, Cin), 0)
+    a = _rand((B, Cin), 1, 0.2) + 1.0
+    c = _rand((B, Cin), 2, 0.2)
+    w = _rand((3, 3, Cin, Cout), 3, 0.05)
+    b = _rand((Cout,), 4)
+    r = _rand((B, H, W, Cout), 5)
+    wpad = (-(W + 2)) % 8
+    wp = lambda t: jnp.pad(t, ((0, 0), (0, 0), (1, 1 + wpad), (0, 0)))
+    ref_out, ref_st = gn_conv_stream(x, a, c, w, b, r, True, True, "xla")
+    xin = wp(x) if chain_in else x
+    rin = wp(r) if chain_res else r
+    out, st = gn_conv_stream(xin, a, c, w, b, rin, True, True, "pallas",
+                             in_w=W if chain_in else 0, out_wpad=True,
+                             res_wpad=chain_res)
+    out = np.asarray(out)
+    assert out.shape == (B, H, W + 2 + wpad, Cout)
+    np.testing.assert_allclose(out[:, :, 1:W + 1], np.asarray(ref_out),
+                               atol=1e-3, rtol=1e-3)
+    assert np.all(out[:, :, 0] == 0) and np.all(out[:, :, W + 1:] == 0)
+    np.testing.assert_allclose(np.asarray(st[:, :2]),
+                               np.asarray(ref_st[:, :2]),
+                               atol=1e-2, rtol=1e-3)
+
+
+@pytest.mark.parametrize("chain_in,chain_out", [(False, False),
+                                                (True, True), (True, False)])
+def test_downconv_stream_matches_reference(chain_in, chain_out):
+    """Streamed stride-2 downsample (asymmetric (0,1),(0,1) pad) vs the
+    XLA strided conv, across chained layouts; H spans several row tiles
+    so the bottom-pad clamped DMA executes."""
+    from diffusiontexturepainting_tpu.ops.gn_conv_stream import (
+        downconv_stream,
+        downconv_stream_plan,
+    )
+
+    B, H, W, Cin, Cout = 1, 64, 16, 128, 128
+    x = _rand((B, H, W, Cin), 0)
+    w = _rand((3, 3, Cin, Cout), 1, 0.05)
+    b = _rand((Cout,), 2)
+    assert downconv_stream_plan(x.shape, w.shape, 4) is not None
+    ref, ref_st = downconv_stream(x, w, b, True, force="xla")
+    wpad = (-(W + 2)) % 8
+    xin = (jnp.pad(x, ((0, 0), (0, 0), (1, 1 + wpad), (0, 0)))
+           if chain_in else x)
+    out, st = downconv_stream(xin, w, b, True, force="pallas",
+                              in_w=W if chain_in else 0, out_wpad=chain_out)
+    out = np.asarray(out)
+    Wout = W // 2
+    if chain_out:
+        wpo = (-(Wout + 2)) % 8
+        assert out.shape == (B, H // 2, Wout + 2 + wpo, Cout)
+        assert np.all(out[:, :, 0] == 0) and np.all(out[:, :, Wout + 1:] == 0)
+        out = out[:, :, 1:Wout + 1]
+    np.testing.assert_allclose(out, np.asarray(ref), atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(st[:, :2]),
+                               np.asarray(ref_st[:, :2]),
+                               atol=1e-2, rtol=1e-3)

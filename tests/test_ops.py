@@ -230,3 +230,82 @@ def test_transformer_block_fused_ff_matches_module():
     yb = b.apply({"params": p}, x, ctx)
     np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
                                atol=2e-3, rtol=2e-3)
+
+
+def test_transformer2d_gn_folded_matches_module():
+    """Transformer2D(gn_folded=True): identical param tree; the folded
+    (x*a)@W + c@W algebra must match GN -> proj_in, both with self-computed
+    stats and with chained-in stats."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusiontexturepainting_tpu.models.layers import Transformer2D
+    from diffusiontexturepainting_tpu.ops.gn_conv_stream import stats_of
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 8, 8, 128), jnp.float32)
+    ctx = jax.random.normal(key, (2, 5, 96), jnp.float32)
+    a = Transformer2D(4, 32, kv_dim=96, num_groups=8)
+    b = Transformer2D(4, 32, kv_dim=96, num_groups=8, gn_folded=True)
+    p = a.init(key, x, ctx)["params"]
+    pf = b.init(key, x, ctx)["params"]
+    assert (jax.tree_util.tree_structure(p)
+            == jax.tree_util.tree_structure(pf))
+    ya = a.apply({"params": p}, x, ctx)
+    yb = b.apply({"params": p}, x, ctx)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                               atol=1e-4, rtol=1e-4)
+    yc = b.apply({"params": p}, x, ctx, in_stats=stats_of(x))
+    np.testing.assert_allclose(np.asarray(yc), np.asarray(yb),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_resnet_return_stats_match_output():
+    """ResnetBlock(fused=True, return_stats=True): the emitted stats must
+    be the (sum, sumsq) of the returned tensor (post-residual)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusiontexturepainting_tpu.models.layers import ResnetBlock
+    from diffusiontexturepainting_tpu.ops.gn_conv_stream import stats_of
+
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(key, (2, 8, 8, 128), jnp.float32)
+    temb = jax.random.normal(key, (2, 24), jnp.float32)
+    m = ResnetBlock(128, num_groups=8, fused=True)
+    p = m.init(key, x, temb)["params"]
+    out, st = m.apply({"params": p}, x, temb, return_stats=True)
+    assert st is not None
+    ref = stats_of(out)
+    np.testing.assert_allclose(np.asarray(st[:, :2]), np.asarray(ref[:, :2]),
+                               atol=1e-3, rtol=1e-4)
+
+
+def test_unet_all_fused_matches_module():
+    """Tiny UNet with every serving fusion on (resnet chains, FF kernel,
+    folded Transformer2D norms) vs the plain module path: same params,
+    same output within kernel tolerance."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from diffusiontexturepainting_tpu.core.config import tiny_unet_config
+    from diffusiontexturepainting_tpu.models.unet import UNet2DCondition
+
+    cfg = tiny_unet_config()
+    fcfg = dataclasses.replace(cfg, fused_resnet=True, fused_ff=True,
+                               fused_norm=True)
+    key = jax.random.PRNGKey(0)
+    sample = jax.random.normal(key, (2, 16, 16, 9), jnp.float32)
+    ctx = jax.random.normal(key, (2, 14, cfg.cross_attention_dim))
+    mod = UNet2DCondition(cfg)
+    fus = UNet2DCondition(fcfg)
+    p = mod.init(key, sample, jnp.float32(1.0), ctx)["params"]
+    pf = fus.init(key, sample, jnp.float32(1.0), ctx)["params"]
+    assert (jax.tree_util.tree_structure(p)
+            == jax.tree_util.tree_structure(pf))
+    ya = mod.apply({"params": p}, sample, jnp.float32(301.0), ctx)
+    yb = fus.apply({"params": p}, sample, jnp.float32(301.0), ctx)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                               atol=5e-4, rtol=5e-4)

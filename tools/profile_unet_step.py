@@ -59,7 +59,7 @@ def main():
     ap.add_argument("--resolution", type=int, default=512)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--component", default="unet",
-                    choices=["unet", "vae_dec", "vae_enc"])
+                    choices=["unet", "vae_dec", "vae_dec_fused", "vae_enc"])
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--fused-resnet", action="store_true")
     ap.add_argument("--fused-ff", action="store_true")
@@ -96,15 +96,22 @@ def main():
             lambda a: a.astype(jnp.bfloat16), params)
         fn = jax.jit(lambda p, s: model.apply({"params": p}, s, t, ctx))
         arg = sample
-    elif args.component == "vae_dec":
-        from diffusiontexturepainting_tpu.models.vae import VAEDecoder
+    elif args.component in ("vae_dec", "vae_dec_fused"):
+        from diffusiontexturepainting_tpu.models.vae import (
+            VAEDecoder,
+            fused_decode,
+        )
 
-        model = VAEDecoder(VAEConfig(), dtype=jnp.bfloat16)
+        vcfg = VAEConfig()
+        model = VAEDecoder(vcfg, dtype=jnp.bfloat16)
         z = jax.random.normal(key, (1, lat, lat, 4), jnp.float32)
         params = jax.jit(model.init)(key, z)["params"]
         params = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16), params)
-        fn = jax.jit(lambda p, s: model.apply({"params": p}, s))
+        if args.component == "vae_dec_fused":
+            fn = jax.jit(lambda p, s: fused_decode(p, s, vcfg))
+        else:
+            fn = jax.jit(lambda p, s: model.apply({"params": p}, s))
         arg = z
     else:
         from diffusiontexturepainting_tpu.models.vae import fused_encode
