@@ -182,16 +182,18 @@ def _fused_mid(p, h, stats, num_groups, dtype):
 
 
 def _fused_norm_silu_conv(p_norm, p_conv, h, stats, num_groups, dtype,
-                          eps=1e-6):
+                          eps=1e-6, in_w=0):
     """conv_norm_out -> SiLU -> conv_out head (small Cout: the kernel
     dispatcher falls back to the XLA reference, which is fine here)."""
     from ..ops.gn_conv_stream import gn_affine_from_stats, gn_conv_stream
 
+    w_int = in_w if in_w else h.shape[2]
     a, c = gn_affine_from_stats(stats, p_norm["norm"]["scale"],
                                 p_norm["norm"]["bias"], num_groups,
-                                h.shape[1] * h.shape[2], eps)
+                                h.shape[1] * w_int, eps)
     out, _ = gn_conv_stream(h, a, c, p_conv["kernel"].astype(dtype),
-                            p_conv["bias"].astype(dtype), None, False)
+                            p_conv["bias"].astype(dtype), None, False,
+                            in_w=in_w)
     return out
 
 
@@ -249,21 +251,28 @@ def fused_decode(params, latents, cfg: VAEConfig = VAEConfig(),
     stats = stats_of(h)
     h, stats = _fused_mid(p["mid"], h, stats, g, dtype)
     rev = tuple(reversed(cfg.block_out_channels))
+    cur_w = 0  # 0 = plain; else the wpadded interior width
     for i in range(len(rev)):
+        # width-padded chaining end-to-end: resnet convs, the streamed
+        # subpixel upsample-conv (which interleaves its planes in VMEM
+        # and emits the next GroupNorm's stats), and the output head all
+        # exchange the wpadded layout - no XLA pad/stats/transpose
+        # passes between them.
+        w_int = cur_w if cur_w else h.shape[2]
         for j in range(cfg.layers_per_block + 1):
             h, stats = _fused_resnet(p[f"up_{i}_resnet_{j}"], h, stats, g,
-                                     dtype)
+                                     dtype, in_w=cur_w, out_wpad=True)
+            cur_w = w_int
         if i < len(rev) - 1:
-            # streamed subpixel upsample-conv with stats epilogue: the
-            # large upsamples used to fall back to an XLA conv over a 4x
-            # materialized upsample + a separate stats pass
             up = p[f"up_{i}_upsample"]["conv"]
             h, up_stats = upconv_stream(h.astype(dtype),
                                         up["kernel"].astype(dtype),
-                                        up["bias"].astype(dtype))
+                                        up["bias"].astype(dtype),
+                                        in_w=cur_w, out_wpad=True)
             stats = up_stats if up_stats is not None else stats_of(h)
+            cur_w = w_int * 2
     h = _fused_norm_silu_conv(p["conv_norm_out"], p["conv_out"], h, stats, g,
-                              dtype)
+                              dtype, in_w=cur_w)
     return h.astype(jnp.float32)
 
 

@@ -517,26 +517,69 @@ gn_conv_stream.defvjp(_fwd, _bwd)
 
 
 def _upconv_stream_kernel(x_hbm, w_ref, b_ref, out_ref, st_ref, xwin, sem,
-                          *, H_T, W, Cin, N_T, want_stats):
+                          *, H_T, W, Cin, N_T, want_stats, in_wpad,
+                          out_wpad, Wp, Wp_out):
     bb = pl.program_id(0)
     hi = pl.program_id(2)
     num_h = pl.num_programs(2)
     slot = jax.lax.rem(hi, 2)
 
-    def get_dma(s, h):
-        return pltpu.make_async_copy(
-            x_hbm.at[bb, pl.ds(pl.multiple_of(h * H_T, H_T), H_T + 2)],
-            xwin.at[s], sem.at[s])
+    if in_wpad:
+        def run_dma(s, h, do_wait):
+            go = (lambda d: d.wait()) if do_wait else (lambda d: d.start())
+            h = jnp.int32(h)
+            first, last = h == 0, h + 1 >= num_h
+            if num_h >= 3:
+                @pl.when(~first & ~last)
+                def _mid():
+                    go(pltpu.make_async_copy(
+                        x_hbm.at[bb, pl.ds(h * H_T - 1, H_T + 2)],
+                        xwin.at[s], sem.at[s]))
+            if num_h >= 2:
+                @pl.when(first & ~last)
+                def _first_blk():
+                    go(pltpu.make_async_copy(
+                        x_hbm.at[bb, pl.ds(0, H_T + 1)],
+                        xwin.at[s, pl.ds(1, H_T + 1)], sem.at[s]))
+
+                @pl.when(last & ~first)
+                def _last_blk():
+                    go(pltpu.make_async_copy(
+                        x_hbm.at[bb, pl.ds(h * H_T - 1, H_T + 1)],
+                        xwin.at[s, pl.ds(0, H_T + 1)], sem.at[s]))
+            else:
+                @pl.when(first & last)
+                def _only_blk():
+                    go(pltpu.make_async_copy(
+                        x_hbm.at[bb, pl.ds(0, H_T)],
+                        xwin.at[s, pl.ds(1, H_T)], sem.at[s]))
+    else:
+        def run_dma(s, h, do_wait):
+            d = pltpu.make_async_copy(
+                x_hbm.at[bb, pl.ds(pl.multiple_of(h * H_T, H_T), H_T + 2)],
+                xwin.at[s], sem.at[s])
+            d.wait() if do_wait else d.start()
 
     @pl.when(hi == 0)
     def _first():
-        get_dma(0, 0).start()
+        run_dma(0, 0, False)
 
     @pl.when(hi + 1 < num_h)
     def _prefetch():
-        get_dma(1 - slot, hi + 1).start()
+        run_dma(1 - slot, hi + 1, False)
 
-    get_dma(slot, hi).wait()
+    run_dma(slot, hi, True)
+
+    if in_wpad:
+        zrow = jnp.zeros((1, Wp, Cin), xwin.dtype)
+
+        @pl.when(hi == 0)
+        def _ztop():
+            xwin[slot, 0:1] = zrow
+
+        @pl.when(hi + 1 >= num_h)
+        def _zbot():
+            xwin[slot, H_T + 1:H_T + 2] = zrow
 
     if want_stats:
         @pl.when(hi == 0)
@@ -546,7 +589,9 @@ def _upconv_stream_kernel(x_hbm, w_ref, b_ref, out_ref, st_ref, xwin, sem,
     bias = b_ref[0].astype(jnp.float32)[None]
     s1 = jnp.zeros((1, N_T), jnp.float32)
     s2 = jnp.zeros((1, N_T), jnp.float32)
+    rows = []
     for ry in (0, 1):
+        cols = []
         for rx in (0, 1):
             acc = None
             for ai in (0, 1):
@@ -560,7 +605,18 @@ def _upconv_stream_kernel(x_hbm, w_ref, b_ref, out_ref, st_ref, xwin, sem,
             if want_stats:
                 s1 = s1 + jnp.sum(y, axis=0)[None]
                 s2 = s2 + jnp.sum(y * y, axis=0)[None]
-            out_ref[0, ry, rx] = y.reshape(H_T, W, N_T).astype(out_ref.dtype)
+            cols.append(y.reshape(H_T, W, 1, N_T).astype(out_ref.dtype))
+        # subpixel interleave IN VMEM: (H_T, W, 2, N) -> (H_T, 2W, N)
+        # merges the adjacent col-parity planes; the XLA transpose pass
+        # over the 4-plane HBM layout (1.6 ms/iter in fused_decode)
+        # disappears.
+        rows.append(jnp.concatenate(cols, axis=2)
+                    .reshape(H_T, 1, 2 * W, N_T))
+    tile = jnp.concatenate(rows, axis=1).reshape(2 * H_T, 2 * W, N_T)
+    if out_wpad:
+        z = lambda n: jnp.zeros((2 * H_T, n, N_T), out_ref.dtype)
+        tile = jnp.concatenate([z(1), tile, z(Wp_out - 2 * W - 1)], axis=1)
+    out_ref[0] = tile
     if want_stats:
         st_ref[0, 0:1, :] += s1
         st_ref[0, 1:2, :] += s2
@@ -582,6 +638,7 @@ def upconv_stream_plan(x_shape, w_shape, itemsize: int = 2):
         return None
     wpad = (-(W + 2)) % 8
     Wp = W + 2 + wpad
+    Wp_out = 2 * W + 2 + (-(2 * W + 2)) % 8
     for ht in (32, 16, 8):
         if H % ht:
             continue
@@ -589,26 +646,40 @@ def upconv_stream_plan(x_shape, w_shape, itemsize: int = 2):
         for nt in nts:
             wb = 16 * Cin * nt * itemsize * 2
             accb = ht * W * nt * 4
-            outb = 4 * ht * W * nt * itemsize * 2
+            # interleaved (2*ht, Wp_out, nt) out tile, double-buffered,
+            # plus the in-VMEM interleave temporaries (~one more tile)
+            outb = 3 * 2 * ht * Wp_out * nt * itemsize
             if win + wb + accb + outb <= 13 * 1024 * 1024:
                 return ht, nt
     return None
 
 
-def _upconv_stream_pallas(x, w, b, want_stats, plan, interpret=False):
+def _upconv_stream_pallas(x, w, b, want_stats, plan, interpret=False,
+                          in_w=0, out_wpad=False):
     from .conv3x3 import _fold_upsample_weights
 
-    B, H, W, Cin = x.shape
+    B, H = x.shape[0], x.shape[1]
+    W = in_w if in_w else x.shape[2]
+    Cin = x.shape[-1]
     Cout = w.shape[-1]
     H_T, N_T = plan
     wpad = (-(W + 2)) % 8
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + wpad), (0, 0)))
     Wp = W + 2 + wpad
+    if in_w:
+        assert x.shape[2] == Wp, (x.shape, Wp)
+        xp = x
+    else:
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + wpad), (0, 0)))
+    Wout = 2 * W
+    Wp_out = Wout + 2 + (-(Wout + 2)) % 8
+    ow = Wp_out if out_wpad else Wout
     w16 = _fold_upsample_weights(w)
     b2 = (b if b is not None else jnp.zeros((Cout,), x.dtype)).reshape(1, Cout)
     kernel = functools.partial(_upconv_stream_kernel, H_T=H_T, W=W, Cin=Cin,
-                               N_T=N_T, want_stats=want_stats)
-    planes, stats = pl.pallas_call(
+                               N_T=N_T, want_stats=want_stats,
+                               in_wpad=bool(in_w), out_wpad=out_wpad,
+                               Wp=Wp, Wp_out=Wp_out)
+    out, stats = pl.pallas_call(
         kernel,
         grid=(B, Cout // N_T, H // H_T),
         in_specs=[
@@ -619,14 +690,14 @@ def _upconv_stream_pallas(x, w, b, want_stats, plan, interpret=False):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 2, 2, H_T, W, N_T),
-                         lambda bb, n, h: (bb, 0, 0, h, 0, n),
+            pl.BlockSpec((1, 2 * H_T, ow, N_T),
+                         lambda bb, n, h: (bb, h, 0, n),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _STATS_ROWS, N_T), lambda bb, n, h: (bb, 0, n),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, 2, 2, H, W, Cout), x.dtype),
+            jax.ShapeDtypeStruct((B, 2 * H, ow, Cout), x.dtype),
             jax.ShapeDtypeStruct((B, _STATS_ROWS, Cout), jnp.float32),
         ),
         scratch_shapes=[
@@ -640,12 +711,12 @@ def _upconv_stream_pallas(x, w, b, want_stats, plan, interpret=False):
             transcendentals=0),
         interpret=interpret,
     )(xp, w16, b2)
-    out = jnp.transpose(planes, (0, 3, 1, 4, 2, 5)).reshape(
-        B, 2 * H, 2 * W, Cout)
     return out, (stats if want_stats else None)
 
 
-def _upconv_stream_reference(x, w, b, want_stats):
+def _upconv_stream_reference(x, w, b, want_stats, in_w=0, out_wpad=False):
+    if in_w:
+        x = x[:, :, 1:in_w + 1, :]
     up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
     y = lax.conv_general_dilated(
         up, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -659,25 +730,36 @@ def _upconv_stream_reference(x, w, b, want_stats):
         zeros = jnp.zeros((x.shape[0], _STATS_ROWS - 2, y.shape[-1]),
                           jnp.float32)
         stats = jnp.concatenate([s1[:, None], s2[:, None], zeros], axis=1)
-    return y.astype(x.dtype), stats
+    y = y.astype(x.dtype)
+    if out_wpad:
+        Wout = y.shape[2]
+        y = jnp.pad(y, ((0, 0), (0, 0), (1, 1 + (-(Wout + 2)) % 8), (0, 0)))
+    return y, stats
 
 
-def upconv_stream(x, w, b, want_stats=True, force="auto"):
+def upconv_stream(x, w, b, want_stats=True, force="auto", in_w=0,
+                  out_wpad=False):
     """nearest-2x upsample + 3x3 SAME conv, streamed, returning
-    (out (B,2H,2W,Cout), stats-or-None). Serving-only (no VJP - the
-    fused decode path never differentiates)."""
+    (out (B,2H,2W[,wpadded],Cout), stats-or-None); the subpixel planes
+    interleave inside the kernel (no XLA transpose pass). in_w/out_wpad
+    chain the width-padded layout (see gn_conv_stream). Serving-only
+    (no VJP - the fused decode path never differentiates)."""
+    int_shape = (x.shape[0], x.shape[1], in_w if in_w else x.shape[2],
+                 x.shape[-1])
     if force != "xla":
-        plan = upconv_stream_plan(x.shape, w.shape, x.dtype.itemsize)
+        plan = upconv_stream_plan(int_shape, w.shape, x.dtype.itemsize)
         backend = jax.default_backend()
         if force == "pallas":
             if plan is None:
                 raise ValueError(
                     f"upconv_stream unsupported for {x.shape} x {w.shape}")
             return _upconv_stream_pallas(x, w, b, want_stats, plan,
-                                         interpret=(backend != "tpu"))
+                                         interpret=(backend != "tpu"),
+                                         in_w=in_w, out_wpad=out_wpad)
         if plan is not None and backend == "tpu":
-            return _upconv_stream_pallas(x, w, b, want_stats, plan)
-    return _upconv_stream_reference(x, w, b, want_stats)
+            return _upconv_stream_pallas(x, w, b, want_stats, plan,
+                                         in_w=in_w, out_wpad=out_wpad)
+    return _upconv_stream_reference(x, w, b, want_stats, in_w, out_wpad)
 
 
 # ---------------------------------------------------------------------------

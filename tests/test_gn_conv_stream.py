@@ -261,3 +261,31 @@ def test_downconv_stream_matches_reference(chain_in, chain_out):
     np.testing.assert_allclose(np.asarray(st[:, :2]),
                                np.asarray(ref_st[:, :2]),
                                atol=1e-2, rtol=1e-3)
+
+
+def test_upconv_stream_wpadded_chaining():
+    """upconv_stream with in_w/out_wpad: in-kernel interleave + chained
+    layouts vs the plain reference."""
+    from diffusiontexturepainting_tpu.ops.gn_conv_stream import (
+        upconv_stream,
+    )
+
+    B, H, W, C = 1, 48, 8, 128
+    x = _rand((B, H, W, C), 0)
+    w = _rand((3, 3, C, C), 1, 0.05)
+    b = _rand((C,), 2)
+    ref, ref_st = upconv_stream(x, w, b, True, force="xla")
+    wpad = (-(W + 2)) % 8
+    xin = jnp.pad(x, ((0, 0), (0, 0), (1, 1 + wpad), (0, 0)))
+    out, st = upconv_stream(xin, w, b, True, force="pallas", in_w=W,
+                            out_wpad=True)
+    out = np.asarray(out)
+    Wout = 2 * W
+    wpo = (-(Wout + 2)) % 8
+    assert out.shape == (B, 2 * H, Wout + 2 + wpo, C)
+    assert np.all(out[:, :, 0] == 0) and np.all(out[:, :, Wout + 1:] == 0)
+    np.testing.assert_allclose(out[:, :, 1:Wout + 1], np.asarray(ref),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(st[:, :2]),
+                               np.asarray(ref_st[:, :2]),
+                               atol=1e-2, rtol=1e-3)
