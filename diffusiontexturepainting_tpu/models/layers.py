@@ -409,12 +409,29 @@ class ResnetBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb=None, return_stats: bool = False):
+    def __call__(self, x, temb=None, return_stats: bool = False, skip=None):
         """return_stats=True -> (out, stats-or-None): the fused path's
         final kernel emits (sum, sumsq) of the post-residual output so a
         following Transformer2D can fold its GroupNorm without re-reading
-        the tensor (None when this shape fell back to the module leg)."""
-        in_ch = x.shape[-1]
+        the tensor (None when this shape fell back to the module leg).
+
+        skip: optional UNet up-path skip tensor, kept UN-concatenated.
+        Math is identical to calling with x = concat([x, skip], -1), but
+        the fused path never materializes the concat (split-weight
+        algebra: concat @ W == x @ W[:Ca] + skip @ W[Ca:]):
+          - GroupNorm stats are per-channel sums, so the concat's stats
+            are just the channel-concat of each part's stats;
+          - conv1 runs as two chained resident kernels (9 taps on each
+            part, second accumulates onto the first via its residual
+            input) - same MXU FLOPs as 9 taps over the concat;
+          - the 1x1 conv_shortcut becomes two clean GEMMs on the parts.
+        This removes the concat write+read (2x the concat bytes/resnet)
+        and replaces XLA's concat-fused 1x1 convs (profiled at 28% MFU)
+        with plain matmuls; it also splits concat convs whose padded
+        image exceeds the resident kernel's VMEM budget (Cin 960 at
+        64x64) into two halves that both fit.
+        """
+        in_ch = x.shape[-1] + (0 if skip is None else skip.shape[-1])
         # Conv3x3: pallas implicit-GEMM on TPU (ops/conv3x3.py), XLA conv
         # elsewhere; identical param tree to nn.Conv.
         conv = lambda name, ch: Conv3x3(ch, dtype=self.dtype, name=name)
@@ -440,6 +457,7 @@ class ResnetBlock(nn.Module):
 
             dt = self.dtype
             B, H, W = x.shape[0], x.shape[1], x.shape[2]
+            ca = x.shape[-1]
             out_sh = (B, H, W, self.out_channels)
             w1_sh = (3, 3, in_ch, self.out_channels)
             w2_sh = (3, 3, self.out_channels, self.out_channels)
@@ -449,26 +467,53 @@ class ResnetBlock(nn.Module):
             # pallas implicit-GEMM conv), never to an unfused XLA conv -
             # the up-block concat conv1s (Cin 960-2560) turned into f32
             # XLA convs otherwise and cost +3.5 ms/UNet-step.
-            fuse1 = (not on_tpu
-                     or gn_conv_resident_plan(x.shape, w1_sh, False)
-                     is not None)
+            if skip is None:
+                fuse1 = (not on_tpu
+                         or gn_conv_resident_plan(x.shape, w1_sh, False)
+                         is not None)
+            else:
+                # split path: both halves must take the resident kernel
+                fuse1 = (not on_tpu or (
+                    gn_conv_resident_plan(
+                        x.shape, (3, 3, ca, self.out_channels), False)
+                    is not None
+                    and gn_conv_resident_plan(
+                        skip.shape, (3, 3, in_ch - ca, self.out_channels),
+                        True) is not None))
             fuse2 = (not on_tpu
                      or gn_conv_resident_plan(out_sh, w2_sh, True)
                      is not None)
             if fuse2:
                 n_sp = H * W
                 xd = x.astype(dt)
+                dummy_in = jnp.zeros((1, 1, 1, in_ch), dt)
                 if fuse1:
-                    s1, b1 = norm1(x, params_only=True)
-                    w1, cb1 = conv1(x, params_only=True)
-                    a1, c1 = gn_affine_from_stats(
-                        stats_of(xd), s1, b1, self.num_groups, n_sp,
-                        self.eps)
-                    h, st_mid = gn_conv_resident(xd, a1, c1, w1.astype(dt),
-                                                 cb1.astype(dt), None, True,
-                                                 True)
+                    s1, b1 = norm1(dummy_in, params_only=True)
+                    w1, cb1 = conv1(dummy_in, params_only=True)
+                    if skip is None:
+                        a1, c1 = gn_affine_from_stats(
+                            stats_of(xd), s1, b1, self.num_groups, n_sp,
+                            self.eps)
+                        h, st_mid = gn_conv_resident(
+                            xd, a1, c1, w1.astype(dt), cb1.astype(dt),
+                            None, True, True)
+                    else:
+                        sd = skip.astype(dt)
+                        st_in = jnp.concatenate(
+                            [stats_of(xd), stats_of(sd)], axis=-1)
+                        a1, c1 = gn_affine_from_stats(
+                            st_in, s1, b1, self.num_groups, n_sp, self.eps)
+                        h1, _ = gn_conv_resident(
+                            xd, a1[:, :ca], c1[:, :ca],
+                            w1[:, :, :ca].astype(dt), cb1.astype(dt),
+                            None, False, True)
+                        h, st_mid = gn_conv_resident(
+                            sd, a1[:, ca:], c1[:, ca:],
+                            w1[:, :, ca:].astype(dt), None, h1, True, True)
                 else:
-                    h = conv1(nn.silu(norm1(x)))
+                    xcat = (x if skip is None
+                            else jnp.concatenate([x, skip], axis=-1))
+                    h = conv1(nn.silu(norm1(xcat)))
                     st_mid = stats_of(h)
                 dummy_out = jnp.zeros((1, 1, 1, self.out_channels), dt)
                 s2, b2 = norm2(dummy_out, params_only=True)
@@ -480,18 +525,34 @@ class ResnetBlock(nn.Module):
                                               self.eps)
                 if t is not None:
                     c2 = c2 + t.astype(jnp.float32) * a2
-                res = x
-                if in_ch != self.out_channels:
-                    res = nn.Conv(self.out_channels, (1, 1),
-                                  dtype=self.dtype,
-                                  param_dtype=jnp.float32,
-                                  name="conv_shortcut")(x)
+                if skip is not None and in_ch != self.out_channels:
+                    # split-weight 1x1 shortcut: two plain GEMMs instead
+                    # of a concat-fused conv (concat@W = x@W[:ca]+s@W[ca:])
+                    ksh, bsh = _Conv1x1Params(self.out_channels, in_ch,
+                                              name="conv_shortcut")()
+                    w00 = ksh[0, 0]
+                    res = (jnp.einsum("bhwc,cd->bhwd", x.astype(dt),
+                                      w00[:ca].astype(dt))
+                           + jnp.einsum("bhwc,cd->bhwd", skip.astype(dt),
+                                        w00[ca:].astype(dt))
+                           + bsh.astype(dt))
+                elif skip is not None:
+                    res = jnp.concatenate([x, skip], axis=-1)
+                else:
+                    res = x
+                    if in_ch != self.out_channels:
+                        res = nn.Conv(self.out_channels, (1, 1),
+                                      dtype=self.dtype,
+                                      param_dtype=jnp.float32,
+                                      name="conv_shortcut")(x)
                 out, st = gn_conv_resident(h, a2, c2, w2.astype(dt),
                                            cb2.astype(dt), res.astype(dt),
                                            return_stats, True)
                 return (out, st) if return_stats else out
             # conv2 ineligible (image exceeds the resident budget):
             # whole-module path below.
+        if skip is not None:
+            x = jnp.concatenate([x, skip], axis=-1)
         h = norm1(x)
         h = conv1(nn.silu(h))
         if t is not None:

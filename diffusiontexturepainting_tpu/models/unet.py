@@ -117,14 +117,15 @@ class UNet2DCondition(nn.Module):
         temb = self.time_embedding_linear_1(temb.astype(self.dtype))
         return self.time_embedding_linear_2(nn.silu(temb))
 
-    def _res_attn(self, resnet, attn, h, temb, ctx):
+    def _res_attn(self, resnet, attn, h, temb, ctx, skip=None):
         """resnet [-> attn]; with fused_norm the resnet's stats epilogue
         feeds the Transformer2D's folded GroupNorm, so the norm needs no
-        extra pass over the tensor."""
+        extra pass over the tensor. `skip` is passed through to the
+        ResnetBlock un-concatenated (split-weight concat elimination)."""
         if attn is not None and self.cfg.fused_norm:
-            h, st = resnet(h, temb, return_stats=True)
+            h, st = resnet(h, temb, return_stats=True, skip=skip)
             return attn(h, ctx, in_stats=st)
-        h = resnet(h, temb)
+        h = resnet(h, temb, skip=skip)
         return attn(h, ctx) if attn is not None else h
 
     def _level0(self, sample, temb, ctx):
@@ -147,11 +148,10 @@ class UNet2DCondition(nn.Module):
         i = len(cfg.block_out_channels) - 1
         rev_attn = tuple(reversed(cfg.attn_down))
         for j in range(cfg.layers_per_block + 1):
-            h = jnp.concatenate([h, skips.pop()], axis=-1)
             h = self._res_attn(
                 getattr(self, f"up_{i}_resnet_{j}"),
                 getattr(self, f"up_{i}_attn_{j}") if rev_attn[i] else None,
-                h, temb, ctx)
+                h, temb, ctx, skip=skips.pop())
         h = self.conv_norm_out(h)
         h = self.conv_out(nn.silu(h))
         return h.astype(jnp.float32)
@@ -189,11 +189,10 @@ class UNet2DCondition(nn.Module):
         n_levels = len(rev_channels)
         for i in range(n_levels - 1):
             for j in range(cfg.layers_per_block + 1):
-                h = jnp.concatenate([h, skips.pop()], axis=-1)
                 h = self._res_attn(
                     getattr(self, f"up_{i}_resnet_{j}"),
                     getattr(self, f"up_{i}_attn_{j}") if rev_attn[i]
-                    else None, h, temb, ctx)
+                    else None, h, temb, ctx, skip=skips.pop())
             h = getattr(self, f"up_{i}_upsample")(h)
 
         deep_cache = h  # (B, H, W, rev_channels[-2]) entering the last level

@@ -309,3 +309,42 @@ def test_unet_all_fused_matches_module():
     yb = fus.apply({"params": p}, sample, jnp.float32(301.0), ctx)
     np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
                                atol=5e-4, rtol=5e-4)
+
+
+def test_resnet_skip_split_matches_concat():
+    """ResnetBlock(skip=...) - split-weight concat elimination - must match
+    the same block applied to the pre-concatenated input, with an identical
+    param tree, in both fused and module form."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusiontexturepainting_tpu.models.layers import ResnetBlock
+
+    key = jax.random.PRNGKey(2)
+    kx, ks, kt = jax.random.split(key, 3)
+    x = jax.random.normal(kx, (2, 8, 8, 128), jnp.float32)
+    skip = jax.random.normal(ks, (2, 8, 8, 64), jnp.float32)
+    temb = jax.random.normal(kt, (2, 24), jnp.float32)
+    xcat = jnp.concatenate([x, skip], axis=-1)
+    for fused in (False, True):
+        m = ResnetBlock(128, num_groups=8, fused=fused)
+        p_cat = m.init(jax.random.PRNGKey(3), xcat, temb)["params"]
+        p_split = m.init(jax.random.PRNGKey(3), x, temb, skip=skip)["params"]
+        assert (jax.tree_util.tree_structure(p_cat)
+                == jax.tree_util.tree_structure(p_split))
+        ya = m.apply({"params": p_cat}, xcat, temb)
+        yb = m.apply({"params": p_cat}, x, temb, skip=skip)
+        tol = 5e-4 if fused else 1e-6
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                                   atol=tol, rtol=tol)
+        out, st = m.apply({"params": p_cat}, x, temb, skip=skip,
+                          return_stats=True)
+        if fused:
+            from diffusiontexturepainting_tpu.ops.gn_conv_stream import (
+                stats_of,
+            )
+
+            ref = stats_of(out)
+            np.testing.assert_allclose(np.asarray(st[:, :2]),
+                                       np.asarray(ref[:, :2]),
+                                       atol=1e-3, rtol=1e-4)
