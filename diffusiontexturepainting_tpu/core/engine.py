@@ -68,17 +68,76 @@ def enable_persistent_cache(cache_dir: str | None = None):
         logger.warning("persistent compilation cache unavailable: %s", e)
 
 
+def _is_scoped_vmem_error(e: Exception) -> bool:
+    """Recognize a Mosaic scoped-VMEM / VMEM-exhaustion compile failure.
+
+    The pallas kernel planners (ops/conv3x3.py pallas_plan /
+    gn_conv_resident_plan) budget VMEM from models calibrated on v5e,
+    but a kernel's true footprint also depends on what else the
+    surrounding XLA program keeps resident - a plan that compiles
+    standalone can OOM embedded in the full stamp program. This
+    predicate is the trigger for the engine's durable answer: re-trace
+    the same operating point with every pallas kernel routed to XLA
+    (the reference analog is TRT tactic fallback when a tactic's
+    workspace exceeds the limit, utilities.py build(...workspace)).
+    """
+    msg = str(e).lower()
+    return ("vmem" in msg or "mosaic" in msg) and (
+        "exceed" in msg or "alloc" in msg or "oom" in msg
+        or "out of memory" in msg or "scoped" in msg)
+
+
 class Engine:
     """Holds jitted stamp/preview programs keyed by operating point."""
 
     def __init__(self, models: StampModels, scheduler_name: str = "DDIM",
-                 persistent_cache: bool = True):
+                 persistent_cache: bool = True,
+                 safe_models: StampModels | None = None):
         self.models = models
         self.scheduler_name = scheduler_name
+        # safe_models: same weights/pytree, fused pallas paths disabled
+        # at the module level; used to rebuild an operating point whose
+        # pallas plans blow the scoped-VMEM budget at compile time.
+        self.safe_models = safe_models
         self._stamp: Dict[Tuple[int, int, int], callable] = {}
         self._preview: Dict[Tuple[int, int], callable] = {}
         if persistent_cache:
             enable_persistent_cache()
+
+    def _guard(self, jitted, make_safe_fn, label: str):
+        """Wrap a jitted program with a one-shot scoped-VMEM fallback:
+        on a Mosaic VMEM compile failure, re-trace via make_safe_fn()
+        under conv_impl("xla") (all pallas kernels -> XLA ops) and serve
+        every subsequent call from the safe program."""
+        if self.safe_models is None:
+            return jitted
+        state = {"fn": jitted, "fell_back": False}
+
+        def call(*args):
+            try:
+                return state["fn"](*args)
+            except Exception as e:  # noqa: BLE001 - classify, then re-raise
+                if state["fell_back"] or not _is_scoped_vmem_error(e):
+                    raise
+                logger.warning(
+                    "%s: pallas plan overflowed scoped VMEM at compile "
+                    "time (%s); recompiling with XLA-only kernels",
+                    label, type(e).__name__)
+                state["fell_back"] = True
+                from ..ops.conv3x3 import conv_impl
+
+                safe = make_safe_fn()
+
+                def traced(*a):
+                    # context active during trace: routes Conv3x3 /
+                    # upconv / gn_conv dispatch to XLA ops
+                    with conv_impl("xla"):
+                        return safe(*a)
+
+                state["fn"] = jax.jit(traced)
+                return state["fn"](*args)
+
+        return call
 
     def stamp_fn(self, resolution: int, steps: int,
                  deep_cache_interval: int = 1):
@@ -86,14 +145,21 @@ class Engine:
         if key not in self._stamp:
             fn = make_stamp_fn(self.models, self.scheduler_name, key[1],
                                deep_cache_interval=key[2])
-            self._stamp[key] = jax.jit(fn)
+            make_safe = lambda: make_stamp_fn(
+                self.safe_models, self.scheduler_name, key[1],
+                deep_cache_interval=key[2])
+            self._stamp[key] = self._guard(
+                jax.jit(fn), make_safe, f"stamp {key}")
         return self._stamp[key]
 
     def preview_fn(self, resolution: int, steps: int):
         key = (int(resolution), int(steps))
         if key not in self._preview:
             fn = make_preview_fn(self.models, self.scheduler_name, key[1])
-            self._preview[key] = jax.jit(fn)
+            make_safe = lambda: make_preview_fn(
+                self.safe_models, self.scheduler_name, key[1])
+            self._preview[key] = self._guard(
+                jax.jit(fn), make_safe, f"preview {key}")
         return self._preview[key]
 
     def warmup(self, params, cond_shape, points, brush_resolution: int):

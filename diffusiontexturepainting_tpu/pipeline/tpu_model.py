@@ -102,7 +102,30 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
             unet_shallow_apply=lambda p, s, t, c, cache: self.unet.apply(
                 {"params": p}, s, t, c, cache, method=_U.forward_shallow),
         )
-        self.engine = Engine(models, self.config.scheduler)
+        # Safe twin for the engine's scoped-VMEM compile fallback: same
+        # param tree, every fused pallas path off (module legs only; the
+        # engine additionally traces it under conv_impl("xla")). Keeps a
+        # novel operating point serving correctly when its pallas plans
+        # overflow scoped VMEM embedded in the full stamp program.
+        safe_ucfg = dataclasses.replace(
+            ucfg, fused_resnet=False, fused_ff=False, fused_norm=False)
+        safe_unet = UNet2DCondition(safe_ucfg, dtype=dtype)
+        safe_models = StampModels(
+            unet_apply=lambda p, s, t, c: safe_unet.apply(
+                {"params": p}, s, t, c),
+            vae_encode_apply=lambda p, x: self.vae_encoder.apply(
+                {"params": p}, x),
+            vae_decode_apply=lambda p, z: self.vae_decoder.apply(
+                {"params": p}, z),
+            params=None,
+            vae_scaling=vcfg.scaling_factor,
+            unet_full_apply=lambda p, s, t, c: safe_unet.apply(
+                {"params": p}, s, t, c, method=_U.forward_full),
+            unet_shallow_apply=lambda p, s, t, c, cache: safe_unet.apply(
+                {"params": p}, s, t, c, cache, method=_U.forward_shallow),
+        )
+        self.engine = Engine(models, self.config.scheduler,
+                             safe_models=safe_models)
         self._encode_brush = jax.jit(
             lambda p, img: encode_brush_image(self.patch_encoder, p, img))
 
