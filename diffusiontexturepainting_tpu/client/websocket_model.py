@@ -52,6 +52,7 @@ class WebsocketConditionalInpainter(ConditionalInpainterBase):
         self._pending_brush = server_io.image_to_binary(float01_to_uint8(self.image))
 
     def generate_raw(self, canvas: np.ndarray, **settings) -> np.ndarray:
+        self._drain_acks()  # sync any in-flight fire-and-forget stroke
         canvas = ensure_float01(canvas)
         # Empty-mask short-circuit: nothing painted yet means the brush image
         # IS the answer; skip the server round-trip (reference Kit
@@ -76,6 +77,94 @@ class WebsocketConditionalInpainter(ConditionalInpainterBase):
         raw = self.ws.recv()
         res = server_io.decode_response(raw)
         return ensure_float01(res["image"][..., :3])
+
+    # --- stroke sessions over the wire -----------------------------------
+    # Proxies the stroke-session protocol (server_io.py types >= 16;
+    # design in pipeline/session.py): the canvas lives on the SERVER's
+    # device, stamps are 22-byte requests, and a stroke can be fired
+    # without waiting for replies (`wait=False`) then synchronized once
+    # with fetch_canvas - the round-trip and transfer amortize across the
+    # whole stroke instead of taxing every stamp.
+
+    def begin_session(self, canvas_u8: np.ndarray) -> None:
+        self._flush_pending_brush()
+        canvas_u8 = np.asarray(canvas_u8)
+        if canvas_u8.dtype != np.uint8:
+            canvas_u8 = float01_to_uint8(canvas_u8)
+        self.ws.send(server_io.encode_begin_session_request(canvas_u8))
+        self._collect_ack()
+        self._inflight = 0
+
+    def stamp_at(self, x0: int, y0: int, return_pixels: bool = True,
+                 overpaint: bool = False, wait: bool = True, **settings):
+        """One stroke stamp. `wait=False` (with return_pixels=False)
+        fires the request and returns immediately; the server's acks are
+        collected lazily by the next synchronizing call."""
+        self._flush_pending_brush(**settings)
+        self.ws.send(server_io.encode_stamp_at_request(
+            x0, y0, return_pixels=return_pixels, overpaint=overpaint,
+            **settings))
+        self._inflight = getattr(self, "_inflight", 0) + 1
+        if return_pixels:
+            self._drain_acks(all_but=1)
+            reply = server_io.decode_response(self.ws.recv())
+            self._inflight = 0
+            return reply["image"]
+        if wait:
+            self._drain_acks()
+        return None
+
+    def erase_at(self, x0: int, y0: int, return_pixels: bool = True,
+                 wait: bool = True):
+        self.ws.send(server_io.encode_erase_at_request(
+            x0, y0, return_pixels=return_pixels))
+        self._inflight = getattr(self, "_inflight", 0) + 1
+        if return_pixels:
+            self._drain_acks(all_but=1)
+            reply = server_io.decode_response(self.ws.recv())
+            self._inflight = 0
+            return reply["image"]
+        if wait:
+            self._drain_acks()
+        return None
+
+    def fetch_canvas(self) -> np.ndarray:
+        """Synchronize the stroke and download the server canvas."""
+        self._drain_acks()
+        self.ws.send(server_io.encode_fetch_canvas_request())
+        reply = server_io.decode_response(self.ws.recv())
+        return reply["image"]
+
+    def end_session(self) -> None:
+        self._drain_acks()
+        self.ws.send(server_io.encode_end_session_request())
+        self._collect_ack()
+
+    def _drain_acks(self, all_but: int = 0) -> None:
+        while getattr(self, "_inflight", 0) > all_but:
+            self._collect_ack()
+
+    def _collect_ack(self) -> int:
+        reply = self.ws.recv()
+        ack = server_io.decode_ack_response(reply)
+        if ack["type"] != server_io.RequestType.RETURN_ACK.value:
+            raise RuntimeError(
+                f"expected RETURN_ACK, got type {ack['type']}")
+        self._inflight = max(0, getattr(self, "_inflight", 1) - 1)
+        return ack["seq"]
+
+    def _flush_pending_brush(self, **settings) -> None:
+        if self._pending_brush is None:
+            return
+        self._drain_acks()  # the brush reply must not interleave with acks
+        req = (
+            server_io.encode_request_type(server_io.RequestType.NEW_BRUSH_IMAGE)
+            + server_io.encode_inference_settings(**settings)
+            + self._pending_brush
+        )
+        self._pending_brush = None
+        self.ws.send(req)
+        server_io.decode_response(self.ws.recv())  # preview reply
 
     def set_brush_prompt(self, prompt: str, **settings) -> np.ndarray:
         """Send a NEW_BRUSH_PROMPT request: the server synthesizes a brush

@@ -27,6 +27,7 @@ from typing import Dict, Tuple
 import jax
 
 from ..pipeline.inpaint import StampModels, make_preview_fn, make_stamp_fn
+from ..pipeline.session import make_session_erase_fn, make_session_stamp_fn
 
 logger = logging.getLogger(__name__)
 
@@ -101,14 +102,18 @@ class Engine:
         self.safe_models = safe_models
         self._stamp: Dict[Tuple[int, int, int], callable] = {}
         self._preview: Dict[Tuple[int, int], callable] = {}
+        self._session_stamp: Dict[Tuple[int, int, int], callable] = {}
+        self._session_erase: Dict[int, callable] = {}
         if persistent_cache:
             enable_persistent_cache()
 
-    def _guard(self, jitted, make_safe_fn, label: str):
+    def _guard(self, jitted, make_safe_fn, label: str, safe_jit=jax.jit):
         """Wrap a jitted program with a one-shot scoped-VMEM fallback:
         on a Mosaic VMEM compile failure, re-trace via make_safe_fn()
         under conv_impl("xla") (all pallas kernels -> XLA ops) and serve
-        every subsequent call from the safe program."""
+        every subsequent call from the safe program. `safe_jit` lets the
+        caller preserve jit options (e.g. donated argnums) on the
+        fallback program."""
         if self.safe_models is None:
             return jitted
         state = {"fn": jitted, "fell_back": False}
@@ -134,7 +139,7 @@ class Engine:
                     with conv_impl("xla"):
                         return safe(*a)
 
-                state["fn"] = jax.jit(traced)
+                state["fn"] = safe_jit(traced)
                 return state["fn"](*args)
 
         return call
@@ -151,6 +156,36 @@ class Engine:
             self._stamp[key] = self._guard(
                 jax.jit(fn), make_safe, f"stamp {key}")
         return self._stamp[key]
+
+    def session_stamp_fn(self, resolution: int, steps: int,
+                         deep_cache_interval: int = 1):
+        """Resident-canvas stroke-stamp program (pipeline/session.py).
+        The canvas argument (argnum 1) is donated so XLA updates the
+        resident stroke state in place - the 'donated-buffer stroke
+        continuation' serving design. jit re-specializes per canvas
+        (H, W) automatically; one cache entry per (res, steps, interval)
+        covers every canvas size."""
+        key = (int(resolution), int(steps), int(deep_cache_interval))
+        if key not in self._session_stamp:
+            fn = make_session_stamp_fn(
+                self.models, self.scheduler_name, key[1],
+                deep_cache_interval=key[2])
+            make_safe = lambda: make_session_stamp_fn(
+                self.safe_models, self.scheduler_name, key[1],
+                deep_cache_interval=key[2])
+            self._session_stamp[key] = self._guard(
+                jax.jit(fn, donate_argnums=(1,)), make_safe,
+                f"session stamp {key}",
+                safe_jit=lambda f: jax.jit(f, donate_argnums=(1,)))
+        return self._session_stamp[key]
+
+    def session_erase_fn(self, resolution: int):
+        """Resident-canvas erase program (no model, no VMEM risk)."""
+        key = int(resolution)
+        if key not in self._session_erase:
+            self._session_erase[key] = jax.jit(
+                make_session_erase_fn(key), donate_argnums=(0,))
+        return self._session_erase[key]
 
     def preview_fn(self, resolution: int, steps: int):
         key = (int(resolution), int(steps))

@@ -218,6 +218,20 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
         self._request_counter += 1
         return np.uint32(self._request_counter)
 
+    def _settings_scalars(self, settings):
+        """Per-request wire settings as numpy scalars, NOT jnp: eager jnp
+        scalar creation is a synchronous host->device transfer (~70 ms
+        each on tunneled backends); numpy args ride along with the
+        program dispatch instead."""
+        steps = int(settings.get("steps", self.config.denoising_steps))
+        cfg_w = np.float32(settings.get("cfg_weight", self.config.guidance_scale))
+        tg_w = np.float32(
+            settings.get("tg_weight", self.config.texture_guidance_scale))
+        tg_steps = np.int32(
+            settings.get("tg_steps", self.config.texture_guidance_steps))
+        pad = np.int32(settings.get("context_pad", self.config.context_pad))
+        return steps, cfg_w, tg_w, tg_steps, pad
+
     def _run_stamp(self, canvas: np.ndarray, **settings):
         """Dispatch the stamp program; returns DEVICE arrays (raw, comp).
 
@@ -231,16 +245,7 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
         else:
             canvas_u8 = (np.clip(canvas, 0.0, 1.0) * 255).astype(np.uint8)
         res = int(canvas_u8.shape[0])
-        steps = int(settings.get("steps", self.config.denoising_steps))
-        # numpy scalars, NOT jnp: eager jnp scalar creation is a synchronous
-        # host->device transfer (~70 ms each on tunneled backends); numpy
-        # args ride along with the program dispatch instead.
-        cfg_w = np.float32(settings.get("cfg_weight", self.config.guidance_scale))
-        tg_w = np.float32(
-            settings.get("tg_weight", self.config.texture_guidance_scale))
-        tg_steps = np.int32(
-            settings.get("tg_steps", self.config.texture_guidance_steps))
-        pad = np.int32(settings.get("context_pad", self.config.context_pad))
+        steps, cfg_w, tg_w, tg_steps, pad = self._settings_scalars(settings)
 
         brush = self._brush_dev
         if brush.shape[1] != res:
@@ -283,3 +288,64 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
         with self.timer.stage(f"stamp u8 x{steps}"):
             _, comp_u8 = self._run_stamp(canvas_u8, **settings)
             return np.asarray(comp_u8)
+
+    # --- stroke sessions: device-resident canvas -------------------------
+    # Overrides the host-side fallback in ConditionalInpainterBase with
+    # the donated-buffer design (pipeline/session.py): the painting canvas
+    # lives in device HBM between requests; each stamp uploads two int32
+    # coordinates + the settings scalars, and downloads nothing unless
+    # asked. Consecutive stamps chain on-device, so a client can fire a
+    # whole stroke without waiting and fetch once at the end.
+
+    def begin_session(self, canvas_u8: np.ndarray) -> None:
+        canvas_u8 = np.asarray(canvas_u8)
+        if canvas_u8.dtype != np.uint8 or canvas_u8.ndim != 3 \
+                or canvas_u8.shape[2] != 4:
+            raise ValueError("session canvas must be (H, W, 4) uint8 RGBA")
+        if min(canvas_u8.shape[0], canvas_u8.shape[1]) < self._resolution:
+            raise ValueError(
+                f"session canvas {canvas_u8.shape[:2]} smaller than the "
+                f"stamp window {self._resolution}x{self._resolution}")
+        self._session_canvas = jnp.asarray(canvas_u8)
+
+    def session_active(self) -> bool:
+        return getattr(self, "_session_canvas", None) is not None
+
+    def stamp_at(self, x0: int, y0: int, return_pixels: bool = True,
+                 overpaint: bool = False, **settings):
+        canvas = self._require_session()
+        steps, cfg_w, tg_w, tg_steps, pad = self._settings_scalars(settings)
+        margin = np.int32(max(1, round(37 / 256 * self._resolution))
+                          if overpaint else 0)
+        fn = self.engine.session_stamp_fn(
+            self._resolution, steps, self._cache_interval(steps))
+        with self.timer.stage(f"session stamp x{steps}"):
+            new_canvas, comp_u8 = fn(
+                self.params, canvas, self._brush_dev, self._cond,
+                self._uncond, self._base_key, self._next_counter(),
+                np.int32(x0), np.int32(y0), cfg_w, tg_w, tg_steps, pad,
+                margin)
+            self._session_canvas = new_canvas
+            return np.asarray(comp_u8) if return_pixels else None
+
+    def erase_at(self, x0: int, y0: int, return_pixels: bool = True):
+        canvas = self._require_session()
+        fn = self.engine.session_erase_fn(self._resolution)
+        new_canvas, crop_u8 = fn(canvas, np.int32(x0), np.int32(y0))
+        self._session_canvas = new_canvas
+        return np.asarray(crop_u8) if return_pixels else None
+
+    def fetch_canvas(self) -> np.ndarray:
+        """Synchronizes the stroke: blocks until every queued stamp has
+        executed, then downloads the canvas once."""
+        return np.asarray(self._require_session())
+
+    def end_session(self) -> None:
+        self._session_canvas = None
+
+    def _require_session(self):
+        canvas = getattr(self, "_session_canvas", None)
+        if canvas is None:
+            raise RuntimeError("no active stroke session (BEGIN_SESSION "
+                               "first)")
+        return canvas

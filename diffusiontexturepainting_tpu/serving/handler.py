@@ -54,6 +54,51 @@ def _brush_preview_reply(model, settings):
         server_io.RequestType.RETURN_PREVIEW, float01_to_uint8(result))
 
 
+def _next_session_seq(model) -> int:
+    seq = getattr(model, "_session_seq", 0) + 1
+    model._session_seq = seq
+    return seq
+
+
+def _handle_session_request(model, raw_message: bytes, msg_type: int):
+    """Dispatch the stroke-session request types (server_io.py >= 16;
+    design in pipeline/session.py). Returns the encoded reply, or None if
+    `msg_type` is not a session request. STAMP_AT with return_pixels=0
+    replies a 5-byte RETURN_ACK immediately after the (asynchronous)
+    device dispatch - a client streaming a stroke gets its acks at
+    dispatch rate while the stamps chain on-device, and FETCH_CANVAS
+    synchronizes."""
+    R = server_io.RequestType
+    if msg_type == R.BEGIN_SESSION.value:
+        _, settings, offset = server_io.decode_request_metadata(raw_message)
+        canvas = server_io.binary_to_image(raw_message, offset)
+        model.begin_session(canvas)
+        model._session_seq = 0
+        return server_io.encode_ack_response(0)
+    if msg_type in (R.STAMP_AT.value, R.ERASE_AT.value):
+        _, settings, offset = server_io.decode_request_metadata(raw_message)
+        coords = server_io.decode_coords_payload(raw_message, offset)
+        if msg_type == R.STAMP_AT.value:
+            crop = model.stamp_at(
+                coords["x0"], coords["y0"],
+                return_pixels=coords["return_pixels"],
+                overpaint=coords["overpaint"], **settings)
+        else:
+            crop = model.erase_at(coords["x0"], coords["y0"],
+                                  return_pixels=coords["return_pixels"])
+        if coords["return_pixels"]:
+            return server_io.encode_generated_response(
+                R.RETURN_STAMP, np.asarray(crop))
+        return server_io.encode_ack_response(_next_session_seq(model))
+    if msg_type == R.FETCH_CANVAS.value:
+        return (server_io.encode_request_type(R.RETURN_CANVAS)
+                + server_io.image_to_binary(model.fetch_canvas()))
+    if msg_type == R.END_SESSION.value:
+        model.end_session()
+        return server_io.encode_ack_response(_next_session_seq(model))
+    return None
+
+
 def handle_request_bytes(model, raw_message: bytes,
                          debug_dir: str | None = None,
                          profile_dir: str | None = None) -> bytes:
@@ -103,6 +148,10 @@ def handle_request_bytes(model, raw_message: bytes,
         _debug_dump(debug_dir, "brush_prompt", brush=brush)
         return _brush_preview_reply(model, settings)
 
+    session_reply = _handle_session_request(model, raw_message, msg_type)
+    if session_reply is not None:
+        return session_reply
+
     meta, settings, image = native_io.decode_request(raw_message)
     if meta["type"] == server_io.RequestType.NEW_BRUSH_IMAGE.value:
         model.set_brush(ensure_float01(image[..., :3]))
@@ -140,6 +189,16 @@ async def handle_request_bytes_async(model, raw_message: bytes,
         model.set_brush(ensure_float01(brush))
         _debug_dump(debug_dir, "brush_prompt", brush=brush)
         return await _brush_preview_reply_async(model, settings)
+
+    if msg_type >= server_io.RequestType.BEGIN_SESSION.value:
+        # Stroke sessions need a model holding resident canvas state;
+        # the micro-batching connection models of --mesh mode do not
+        # (their per-stamp inputs fan onto a shared device mesh).
+        if not hasattr(model, "begin_session"):
+            raise NotImplementedError(
+                "stroke sessions are not available in --mesh "
+                "(micro-batching) serving mode")
+        return _handle_session_request(model, raw_message, msg_type)
 
     meta, settings, image = native_io.decode_request(raw_message)
     if meta["type"] == server_io.RequestType.NEW_BRUSH_IMAGE.value:

@@ -73,6 +73,84 @@ class ConditionalInpainterBase(ABC):
         canvas[..., :3] *= canvas[..., 3:4]
         return canvas
 
+    # --- stroke sessions (server-resident canvas) -----------------------
+    #
+    # Generic host-side implementation of the stroke-session contract
+    # (pipeline/session.py documents the protocol): the canvas is held by
+    # the model between requests, each STAMP_AT crops a res^2 window,
+    # inpaints it via `generate`, and writes the composited result +
+    # painted alpha back under the stamp edge mask. TPU models override
+    # this with a device-resident donated-buffer implementation; this
+    # fallback gives every inpainter (mock, websocket-proxied) the same
+    # semantics for free.
+
+    def begin_session(self, canvas_u8: np.ndarray) -> None:
+        canvas_u8 = np.asarray(canvas_u8)
+        if canvas_u8.dtype != np.uint8 or canvas_u8.ndim != 3 \
+                or canvas_u8.shape[2] != 4:
+            raise ValueError("session canvas must be (H, W, 4) uint8 RGBA")
+        res = self.resolution()
+        if canvas_u8.shape[0] < res or canvas_u8.shape[1] < res:
+            raise ValueError(
+                f"session canvas {canvas_u8.shape[:2]} smaller than the "
+                f"stamp window {res}x{res}")
+        self._session_canvas = canvas_u8.copy()
+
+    def session_active(self) -> bool:
+        return getattr(self, "_session_canvas", None) is not None
+
+    def stamp_at(self, x0: int, y0: int, return_pixels: bool = True,
+                 overpaint: bool = False, **settings):
+        """One stroke stamp into the resident canvas at top-left (x0, y0)
+        (clamped to fit). Returns the composited res^2 crop as uint8 RGB
+        when return_pixels, else None."""
+        from ..pipeline.session import host_stamp_update
+
+        canvas = self._require_session()
+        res = self.resolution()
+        y0 = int(np.clip(y0, 0, canvas.shape[0] - res))
+        x0 = int(np.clip(x0, 0, canvas.shape[1] - res))
+        crop = ensure_float01(canvas[y0:y0 + res, x0:x0 + res])
+        if overpaint:
+            margin = max(1, int(round(37 / 256 * res)))
+            crop = crop.copy()
+            crop[margin:res - margin, margin:res - margin, 3] = 0.0
+            crop[..., :3] *= crop[..., 3:4]
+        comp_u8 = float01_to_uint8(self.generate(crop, **settings))
+        self._session_canvas = host_stamp_update(canvas, comp_u8, x0, y0)
+        return comp_u8 if return_pixels else None
+
+    def erase_at(self, x0: int, y0: int, return_pixels: bool = True):
+        """Zero RGBA under a filled-circle stamp mask (Erase mode,
+        reference manager.py:48-53, 267-270)."""
+        from ..client.painter import circle_mask
+
+        canvas = self._require_session()
+        res = self.resolution()
+        y0 = int(np.clip(y0, 0, canvas.shape[0] - res))
+        x0 = int(np.clip(x0, 0, canvas.shape[1] - res))
+        circle = circle_mask(res) > 0.0
+        window = canvas[y0:y0 + res, x0:x0 + res]
+        new_window = np.where(circle, np.uint8(0), window)
+        canvas = canvas.copy()
+        canvas[y0:y0 + res, x0:x0 + res] = new_window
+        self._session_canvas = canvas
+        return new_window[..., :3] if return_pixels else None
+
+    def fetch_canvas(self) -> np.ndarray:
+        """The current resident canvas as (H, W, 4) uint8."""
+        return self._require_session().copy()
+
+    def end_session(self) -> None:
+        self._session_canvas = None
+
+    def _require_session(self) -> np.ndarray:
+        canvas = getattr(self, "_session_canvas", None)
+        if canvas is None:
+            raise RuntimeError("no active stroke session (BEGIN_SESSION "
+                               "first)")
+        return canvas
+
 
 def ensure_float01(image: np.ndarray) -> np.ndarray:
     """uint8 [0,255] or float [0,1] -> float32 [0,1]."""

@@ -37,6 +37,18 @@ class RequestType(enum.Enum):
     NEW_STAMP = 2
     RETURN_PREVIEW = 3
     RETURN_STAMP = 4
+    # --- stroke-session extension (values >= 16 stay clear of the
+    # reference enum, server_io.py:19-24; see pipeline/session.py for the
+    # serving design). All session requests carry the same settings
+    # header as the reference types, so decode_request_metadata is
+    # uniform across the protocol.
+    BEGIN_SESSION = 16   # settings + RGBA canvas payload -> RETURN_ACK
+    STAMP_AT = 17        # settings + coords payload -> RETURN_STAMP | ACK
+    ERASE_AT = 18        # settings + coords payload -> RETURN_STAMP | ACK
+    FETCH_CANVAS = 19    # settings only -> RETURN_CANVAS
+    END_SESSION = 20     # settings only -> RETURN_ACK
+    RETURN_ACK = 21      # [u32 seq]
+    RETURN_CANVAS = 22   # RGBA canvas payload
 
 
 @dataclass
@@ -186,3 +198,80 @@ def encode_brush_prompt_request(prompt: str, **settings) -> bytes:
         + encode_inference_settings(**settings)
         + encode_prompt_payload(prompt)
     )
+
+
+# --- stroke-session payloads --------------------------------------------
+# STAMP_AT / ERASE_AT carry [i32 x0][i32 y0][u8 flags] after the settings
+# header; flags bit 0 = return pixels (RETURN_STAMP reply instead of a
+# 5-byte RETURN_ACK), bit 1 = overpaint (clear the window's center alpha
+# before inpainting). Coordinates are the stamp window's top-left corner
+# in canvas pixels; the server clamps them so the window fits.
+
+COORDS_FLAG_RETURN_PIXELS = 1
+COORDS_FLAG_OVERPAINT = 2
+
+_COORDS_FMT = "<iiB"
+
+
+def encode_coords_payload(x0: int, y0: int, return_pixels: bool = True,
+                          overpaint: bool = False) -> bytes:
+    flags = (COORDS_FLAG_RETURN_PIXELS if return_pixels else 0) \
+        | (COORDS_FLAG_OVERPAINT if overpaint else 0)
+    return struct.pack(_COORDS_FMT, int(x0), int(y0), flags)
+
+
+def decode_coords_payload(bytes_msg: bytes, offset: int = 0):
+    x0, y0, flags = struct.unpack_from(_COORDS_FMT, bytes_msg, offset)
+    return {
+        "x0": x0,
+        "y0": y0,
+        "return_pixels": bool(flags & COORDS_FLAG_RETURN_PIXELS),
+        "overpaint": bool(flags & COORDS_FLAG_OVERPAINT),
+    }
+
+
+def encode_begin_session_request(canvas_u8: "np.ndarray", **settings) -> bytes:
+    return (
+        encode_request_type(RequestType.BEGIN_SESSION)
+        + encode_inference_settings(**settings)
+        + image_to_binary(canvas_u8)
+    )
+
+
+def encode_stamp_at_request(x0: int, y0: int, return_pixels: bool = True,
+                            overpaint: bool = False, **settings) -> bytes:
+    return (
+        encode_request_type(RequestType.STAMP_AT)
+        + encode_inference_settings(**settings)
+        + encode_coords_payload(x0, y0, return_pixels, overpaint)
+    )
+
+
+def encode_erase_at_request(x0: int, y0: int,
+                            return_pixels: bool = True) -> bytes:
+    return (
+        encode_request_type(RequestType.ERASE_AT)
+        + encode_inference_settings()
+        + encode_coords_payload(x0, y0, return_pixels)
+    )
+
+
+def encode_fetch_canvas_request() -> bytes:
+    return (encode_request_type(RequestType.FETCH_CANVAS)
+            + encode_inference_settings())
+
+
+def encode_end_session_request() -> bytes:
+    return (encode_request_type(RequestType.END_SESSION)
+            + encode_inference_settings())
+
+
+def encode_ack_response(seq: int) -> bytes:
+    return encode_request_type(RequestType.RETURN_ACK) \
+        + struct.pack("<I", int(seq) & 0xFFFFFFFF)
+
+
+def decode_ack_response(bytes_msg: bytes, offset: int = 0):
+    (response_type,) = struct.unpack_from("<B", bytes_msg, offset)
+    (seq,) = struct.unpack_from("<I", bytes_msg, offset + 1)
+    return {"type": response_type, "seq": seq}

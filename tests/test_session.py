@@ -1,0 +1,321 @@
+"""Stroke sessions: device-resident canvas serving (pipeline/session.py,
+server_io.py request types >= 16).
+
+Covers: the wire codecs, the generic host-side session fallback
+(ConditionalInpainterBase), the device-resident TPU path against the
+host oracle with matched RNG, clamping, overpaint, erase semantics
+(reference manager.py:48-53, 243-270), the handler dispatch, and a live
+websocket fire-and-forget stroke against a mock server.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from diffusiontexturepainting_tpu.client.mock_model import (
+    MockConditionalInpainter,
+)
+from diffusiontexturepainting_tpu.client.painter import circle_mask
+from diffusiontexturepainting_tpu.pipeline.session import host_stamp_update
+from diffusiontexturepainting_tpu.serving import server_io
+from diffusiontexturepainting_tpu.serving.handler import handle_request_bytes
+from diffusiontexturepainting_tpu.serving.model_base import float01_to_uint8
+
+
+def make_canvas(h=96, w=128, seed=0):
+    rng = np.random.default_rng(seed)
+    canvas = np.zeros((h, w, 4), np.uint8)
+    canvas[: h // 2, :, :3] = rng.integers(0, 256, (h // 2, w, 3),
+                                           dtype=np.uint8)
+    canvas[: h // 2, :, 3] = 255
+    return canvas
+
+
+# --- wire codecs -----------------------------------------------------------
+
+
+def test_coords_payload_roundtrip():
+    raw = server_io.encode_coords_payload(37, -5, return_pixels=False,
+                                          overpaint=True)
+    out = server_io.decode_coords_payload(raw)
+    assert out == {"x0": 37, "y0": -5, "return_pixels": False,
+                   "overpaint": True}
+
+
+def test_ack_roundtrip():
+    raw = server_io.encode_ack_response(12345)
+    out = server_io.decode_ack_response(raw)
+    assert out["type"] == server_io.RequestType.RETURN_ACK.value
+    assert out["seq"] == 12345
+
+
+def test_session_requests_share_settings_header():
+    req = server_io.encode_stamp_at_request(3, 4, steps=7, cfg_weight=1.5)
+    meta, settings, offset = server_io.decode_request_metadata(req)
+    assert meta["type"] == server_io.RequestType.STAMP_AT.value
+    assert settings["steps"] == 7
+    assert settings["cfg_weight"] == pytest.approx(1.5)
+    coords = server_io.decode_coords_payload(req, offset)
+    assert (coords["x0"], coords["y0"]) == (3, 4)
+
+
+# --- generic host-side fallback --------------------------------------------
+
+
+def test_base_session_stamp_update_rule():
+    model = MockConditionalInpainter(32)
+    model.set_brush(np.full((32, 32, 3), 0.25, np.float32))
+    canvas = make_canvas()
+    model.begin_session(canvas)
+    crop = canvas[10:42, 20:52]
+    expected_comp = float01_to_uint8(
+        model.generate(crop.astype(np.float32) / 255.0))
+    out = model.stamp_at(20, 10)
+    np.testing.assert_array_equal(out, expected_comp)
+    fetched = model.fetch_canvas()
+    np.testing.assert_array_equal(
+        fetched, host_stamp_update(canvas, expected_comp, 20, 10))
+    # 1px border of the window is untouched; interior alpha painted
+    assert (fetched[11:41, 21:51, 3] == 255).all()
+    np.testing.assert_array_equal(fetched[10, 20:52], canvas[10, 20:52])
+
+
+def test_base_session_clamps_coordinates():
+    model = MockConditionalInpainter(32)
+    canvas = make_canvas()
+    model.begin_session(canvas)
+    model.stamp_at(10_000, -50, return_pixels=False)
+    fetched = model.fetch_canvas()
+    # window clamped to the top-right corner
+    assert (fetched[1:31, 97:127, 3] == 255).all()
+    np.testing.assert_array_equal(fetched[:, :96], canvas[:, :96])
+
+
+def test_base_session_erase_circle():
+    model = MockConditionalInpainter(32)
+    canvas = make_canvas()
+    model.begin_session(canvas)
+    model.erase_at(8, 8)
+    fetched = model.fetch_canvas()
+    circle = circle_mask(32)[..., 0] > 0
+    window = fetched[8:40, 8:40]
+    assert (window[circle] == 0).all()
+    np.testing.assert_array_equal(window[~circle], canvas[8:40, 8:40][~circle])
+
+
+def test_base_session_overpaint_clears_center():
+    model = MockConditionalInpainter(32)
+    model.set_brush(np.full((32, 32, 3), 0.75, np.float32))
+    canvas = make_canvas(h=64, w=64, seed=1)
+    canvas[..., 3] = 255  # fully painted
+    model.begin_session(canvas)
+    out = model.stamp_at(0, 0, overpaint=True)
+    margin = max(1, int(round(37 / 256 * 32)))
+    # center was cleared -> regenerated with the brush; border kept
+    brush_u8 = float01_to_uint8(np.full((1,), 0.75))[0]
+    assert (out[margin:-margin, margin:-margin] == brush_u8).all()
+    # border kept (u8 -> f01 -> u8 roundtrip may truncate by 1)
+    diff = (out[:margin].astype(int)
+            - canvas[:margin, :32, :3].astype(int))
+    assert np.abs(diff).max() <= 1
+
+
+def test_session_requires_begin():
+    model = MockConditionalInpainter(16)
+    with pytest.raises(RuntimeError, match="BEGIN_SESSION"):
+        model.stamp_at(0, 0)
+    model.begin_session(make_canvas(32, 32))
+    model.end_session()
+    with pytest.raises(RuntimeError, match="BEGIN_SESSION"):
+        model.fetch_canvas()
+
+
+def test_begin_session_validates_canvas():
+    model = MockConditionalInpainter(64)
+    with pytest.raises(ValueError, match="smaller"):
+        model.begin_session(make_canvas(32, 32))
+    with pytest.raises(ValueError, match="uint8"):
+        model.begin_session(np.zeros((64, 64, 4), np.float32))
+
+
+# --- device-resident TPU path ----------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    from diffusiontexturepainting_tpu.pipeline.tpu_model import (
+        TPUConditionalInpainter,
+    )
+
+    return TPUConditionalInpainter(resolution=64, tiny=True, warmup=False,
+                                   seed=0, verbose_timing=False)
+
+
+settings_small = dict(steps=2, cfg_weight=2.0, tg_weight=1.0, tg_steps=2,
+                      context_pad=20)
+
+
+def test_device_session_matches_per_request_path(tiny_model):
+    """stamp_at == generate_u8 on the same crop with the same RNG counter,
+    written back under the host oracle's update rule."""
+    model = tiny_model
+    model.set_brush(np.random.default_rng(1).random((64, 64, 3))
+                    .astype(np.float32))
+    canvas = make_canvas(h=96, w=160, seed=2)
+    model.begin_session(canvas)
+
+    c0 = model._request_counter
+    crop = canvas[16:80, 40:104]
+    comp_ref = model.generate_u8(crop, **settings_small)
+    model._request_counter = c0  # same fold_in -> same stamp RNG
+    out = model.stamp_at(40, 16, **settings_small)
+    np.testing.assert_array_equal(out, comp_ref)
+    np.testing.assert_array_equal(
+        model.fetch_canvas(), host_stamp_update(canvas, comp_ref, 40, 16))
+
+
+def test_device_session_chains_stamps(tiny_model):
+    """Consecutive overlapping stamps: stamp 2 must see stamp 1's output
+    (the data dependency chains through the resident canvas)."""
+    model = tiny_model
+    canvas = make_canvas(h=96, w=160, seed=3)
+    model.begin_session(canvas)
+    c0 = model._request_counter
+
+    model.stamp_at(0, 0, return_pixels=False, **settings_small)
+    model.stamp_at(32, 16, return_pixels=False, **settings_small)
+    fetched = model.fetch_canvas()
+
+    # host replay using the per-request path on explicit crops
+    model._request_counter = c0
+    host = canvas
+    for (x0, y0) in [(0, 0), (32, 16)]:
+        comp = model.generate_u8(host[y0:y0 + 64, x0:x0 + 64],
+                                 **settings_small)
+        host = host_stamp_update(host, comp, x0, y0)
+    np.testing.assert_array_equal(fetched, host)
+    model.end_session()
+    assert not model.session_active()
+
+
+def test_device_session_erase(tiny_model):
+    model = tiny_model
+    canvas = make_canvas(h=96, w=160, seed=4)
+    model.begin_session(canvas)
+    crop = model.erase_at(100, 5)
+    circle = circle_mask(64)[..., 0] > 0
+    assert (crop[circle] == 0).all()
+    fetched = model.fetch_canvas()
+    window = fetched[5:69, 96:160]  # x clamped to 160-64=96
+    assert (window[circle] == 0).all()
+    assert (window[circle][..., :] == 0).all()
+    np.testing.assert_array_equal(fetched[:5], canvas[:5])
+
+
+# --- handler dispatch --------------------------------------------------------
+
+
+def test_handler_session_sequence():
+    model = MockConditionalInpainter(32)
+    canvas = make_canvas()
+
+    reply = handle_request_bytes(
+        model, server_io.encode_begin_session_request(canvas))
+    assert server_io.decode_ack_response(reply)["type"] == \
+        server_io.RequestType.RETURN_ACK.value
+
+    reply = handle_request_bytes(
+        model, server_io.encode_stamp_at_request(4, 6, return_pixels=True))
+    out = server_io.decode_response(reply)
+    assert out["type"] == server_io.RequestType.RETURN_STAMP.value
+    assert out["image"].shape == (32, 32, 3)
+
+    reply = handle_request_bytes(
+        model,
+        server_io.encode_stamp_at_request(40, 6, return_pixels=False))
+    assert server_io.decode_ack_response(reply)["seq"] == 1
+
+    reply = handle_request_bytes(model,
+                                 server_io.encode_erase_at_request(0, 0))
+    assert server_io.decode_response(reply)["type"] == \
+        server_io.RequestType.RETURN_STAMP.value
+
+    reply = handle_request_bytes(model,
+                                 server_io.encode_fetch_canvas_request())
+    (rtype,) = np.frombuffer(reply[:1], np.uint8)
+    assert rtype == server_io.RequestType.RETURN_CANVAS.value
+    fetched = server_io.binary_to_image(reply, 1)
+    assert fetched.shape == canvas.shape
+    np.testing.assert_array_equal(fetched, model.fetch_canvas())
+
+    reply = handle_request_bytes(model,
+                                 server_io.encode_end_session_request())
+    server_io.decode_ack_response(reply)
+    assert not model.session_active()
+
+
+# --- live websocket stroke ---------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mock_server():
+    import tornado.httpserver
+    import tornado.ioloop
+    import tornado.netutil
+
+    from diffusiontexturepainting_tpu.serving.run import create_server
+
+    loop_holder = {}
+    started = threading.Event()
+
+    def run():
+        import asyncio
+
+        asyncio.set_event_loop(asyncio.new_event_loop())
+        loop = tornado.ioloop.IOLoop.current()
+        app = create_server(mock=True, resolution=32)
+        sockets = tornado.netutil.bind_sockets(0, "127.0.0.1")
+        server = tornado.httpserver.HTTPServer(app)
+        server.add_sockets(sockets)
+        loop_holder["loop"] = loop
+        loop_holder["port"] = sockets[0].getsockname()[1]
+        started.set()
+        loop.start()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    started.wait(timeout=10)
+    yield loop_holder["port"]
+    loop_holder["loop"].add_callback(loop_holder["loop"].stop)
+
+
+def test_websocket_fire_and_forget_stroke(mock_server):
+    from diffusiontexturepainting_tpu.client.websocket_model import (
+        WebsocketConditionalInpainter,
+    )
+
+    client = WebsocketConditionalInpainter(
+        f"ws://127.0.0.1:{mock_server}/websocket/", resolution=32)
+    try:
+        client.set_brush(np.full((32, 32, 3), 0.5, np.float32))
+        canvas = make_canvas(64, 96)
+        client.begin_session(canvas)
+        # fire a 5-stamp stroke without waiting, then synchronize once
+        for i in range(5):
+            client.stamp_at(8 * i, 4 * i, return_pixels=False, wait=False)
+        fetched = client.fetch_canvas()
+        assert fetched.shape == canvas.shape
+        # replay server-side semantics locally
+        oracle = MockConditionalInpainter(32)
+        oracle.set_brush(np.full((32, 32, 3), 0.5, np.float32))
+        oracle.begin_session(canvas)
+        for i in range(5):
+            oracle.stamp_at(8 * i, 4 * i, return_pixels=False)
+        np.testing.assert_array_equal(fetched, oracle.fetch_canvas())
+        # pixel-returning stamp still works after the stream
+        out = client.stamp_at(0, 0)
+        assert out.shape == (32, 32, 3)
+        client.end_session()
+    finally:
+        client.close()
