@@ -47,12 +47,16 @@ class BrushStroke:
         if not self.started:
             return self.begin(hit, normal)
         hit = np.asarray(hit, np.float32)
-        seg = hit - self.prev_point
+        start = self.prev_point
+        seg = hit - start
         dist = float(np.linalg.norm(seg))
         n_stamps = int(dist / self.step_dist)
         emitted = 0
         for i in range(1, n_stamps + 1):
-            point = self.prev_point + seg * (i * self.step_dist / dist)
+            # interpolate along the ORIGINAL segment: i*step from its
+            # start (stamps must be evenly spaced; stepping from the
+            # moving prev_point would space them 1,3,6,... steps apart)
+            point = start + seg * (i * self.step_dist / dist)
             self.painter.stamp(point, normal, prev_point=self.prev_point,
                                radius=self.radius)
             self.prev_point = point

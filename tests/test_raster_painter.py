@@ -156,6 +156,24 @@ def test_brush_stroke_interpolation():
     stroke.end()
 
 
+def test_brush_stroke_stamps_evenly_spaced():
+    """Stamps land every step_dist along the segment (regression: stepping
+    from the updated prev_point spaced them 1,3,6,... steps apart)."""
+    model = MockConditionalInpainter(32)
+    mesh = quad_mesh(size=8.0)
+    painter = TexturePainter(model, mesh, texture_width=32)
+    hits = []
+    painter.stamp = lambda hit, normal, prev_point=None, radius=None: \
+        hits.append(np.asarray(hit, np.float32))
+
+    stroke = BrushStroke(painter, radius=0.5)
+    stroke.begin([0, 0, 0], [0, 0, 1.0])
+    emitted = stroke.move([2.0, 0, 0], [0, 0, 1.0])
+    assert emitted == 4
+    xs = [float(h[0]) for h in hits]
+    np.testing.assert_allclose(xs, [0.0, 0.5, 1.0, 1.5, 2.0], atol=1e-6)
+
+
 def test_erase_mode_clears_to_unpainted():
     """Erase uses a circle stamp mask and CLEARS the texture under it —
     erased texels revert to unpainted (reference manager.py:246-250,

@@ -290,6 +290,49 @@ def mock_server():
     loop_holder["loop"].add_callback(loop_holder["loop"].stop)
 
 
+def test_canvas_stroke_painter_paints_a_band():
+    from diffusiontexturepainting_tpu.client.canvas_painter import (
+        CanvasStrokePainter,
+    )
+
+    model = MockConditionalInpainter(32)
+    model.set_brush(np.full((32, 32, 3), 0.5, np.float32))
+    p = CanvasStrokePainter(model, width=128, height=64)
+    assert p.texture.sum() == 0
+    n = p.begin_stroke(16, 32)
+    n += p.move(112, 32)
+    p.end_stroke()
+    assert n >= 1 + (96 // 16)  # one stamp per radius=16px of travel
+    tex = p.texture
+    # the stroke band is painted with the brush gray
+    band = tex[32:47, 16:96]
+    assert (band[..., 3] == 255).all()
+    assert (band[..., :3] == 127).all()
+    # undo restores the empty canvas
+    assert p.undo()
+    assert p.texture.sum() == 0
+    p.close()
+
+
+def test_canvas_stroke_painter_erase_mode():
+    from diffusiontexturepainting_tpu.client.canvas_painter import (
+        CanvasStrokePainter,
+    )
+    from diffusiontexturepainting_tpu.client.painter import BrushMode
+
+    model = MockConditionalInpainter(32)
+    canvas = np.full((64, 64, 4), 200, np.uint8)
+    p = CanvasStrokePainter(model, canvas=canvas)
+    p.mode = BrushMode.ERASE
+    p.begin_stroke(32, 32)
+    p.end_stroke()
+    tex = p.texture
+    circle = circle_mask(32)[..., 0] > 0
+    assert (tex[16:48, 16:48][circle] == 0).all()
+    np.testing.assert_array_equal(tex[:16], canvas[:16])
+    p.close()
+
+
 def test_websocket_fire_and_forget_stroke(mock_server):
     from diffusiontexturepainting_tpu.client.websocket_model import (
         WebsocketConditionalInpainter,
@@ -317,5 +360,30 @@ def test_websocket_fire_and_forget_stroke(mock_server):
         out = client.stamp_at(0, 0)
         assert out.shape == (32, 32, 3)
         client.end_session()
+    finally:
+        client.close()
+
+
+def test_canvas_painter_over_websocket(mock_server):
+    from diffusiontexturepainting_tpu.client.canvas_painter import (
+        CanvasStrokePainter,
+    )
+    from diffusiontexturepainting_tpu.client.websocket_model import (
+        WebsocketConditionalInpainter,
+    )
+
+    client = WebsocketConditionalInpainter(
+        f"ws://127.0.0.1:{mock_server}/websocket/", resolution=32)
+    try:
+        client.set_brush(np.full((32, 32, 3), 0.5, np.float32))
+        p = CanvasStrokePainter(client, width=96, height=64)
+        p.begin_stroke(16, 32)
+        p.move(80, 32)  # stamps stream fire-and-forget
+        p.end_stroke()
+        tex = p.texture  # one synchronizing fetch
+        assert (tex[32:47, 16:80, 3] == 255).all()
+        assert p.undo()
+        assert p.texture.sum() == 0
+        p.close()
     finally:
         client.close()
