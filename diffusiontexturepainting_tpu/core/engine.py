@@ -142,6 +142,7 @@ class Engine:
                 state["fn"] = safe_jit(traced)
                 return state["fn"](*args)
 
+        call.current = lambda: state["fn"]  # the live jitted program
         return call
 
     def stamp_fn(self, resolution: int, steps: int,

@@ -57,7 +57,8 @@ def test_settings_are_dynamic_no_recompile(model):
     model.generate(canvas, steps=2, cfg_weight=4.0, tg_weight=2.0, context_pad=40)
     fn2 = model.engine.stamp_fn(64, 2)
     assert fn1 is fn2
-    assert fn1._cache_size() == 1
+    jitted = fn1.current() if hasattr(fn1, "current") else fn1
+    assert jitted._cache_size() == 1
 
 
 def test_cfg_weight_changes_output(model):
