@@ -60,7 +60,8 @@ def create_server(model=None, resolution: int = 256, debug_dir: str | None = Non
                   warmup_points=None,
                   profile_dir: str | None = None,
                   mesh: str | None = None,
-                  batch_window_ms: float = 3.0):
+                  batch_window_ms: float = 3.0,
+                  session_canvas: str | None = None):
     """Create the Tornado application around an inpainter model.
 
     mesh: e.g. "data=8" - serve concurrent sessions through a
@@ -109,6 +110,19 @@ def create_server(model=None, resolution: int = 256, debug_dir: str | None = Non
     else:
         model_info = type(model).__name__
 
+    if session_canvas and hasattr(model, "begin_session"):
+        # AOT-compile the stroke-session program for the declared canvas
+        # size (the session analog of --warmup-points): one dummy
+        # begin/stamp/fetch/end so the first client stroke is steady-state.
+        import numpy as np
+
+        w, h = (int(v) for v in session_canvas.lower().split("x"))
+        logger.info("warming session program for a %dx%d canvas...", w, h)
+        model.begin_session(np.zeros((h, w, 4), np.uint8))
+        model.stamp_at(0, 0, return_pixels=False)
+        model.fetch_canvas()
+        model.end_session()
+
     return tornado.web.Application(
         [
             (r"/websocket/", InpaintWebSocketHandler,
@@ -148,6 +162,10 @@ def run_main(argv=None):
                         help="request-parallel multi-chip serving, e.g. "
                              "'data=8': concurrent sessions micro-batch "
                              "into one SPMD stamp program over N chips")
+    parser.add_argument("--session-canvas", type=str, default=None,
+                        help="AOT-compile the stroke-session program for "
+                             "this canvas size at startup, e.g. 1024x1024 "
+                             "(width x height)")
     parser.add_argument("--batch-window-ms", type=float, default=3.0,
                         help="micro-batch collection window for --mesh")
     parser.add_argument("--profile-dir", type=str, default=None,
@@ -172,7 +190,8 @@ def run_main(argv=None):
                         warmup_points=warmup_points,
                         profile_dir=args.profile_dir,
                         mesh=args.mesh,
-                        batch_window_ms=args.batch_window_ms)
+                        batch_window_ms=args.batch_window_ms,
+                        session_canvas=args.session_canvas)
     app.listen(args.port)
     logger.info("Serving on ws://0.0.0.0:%d/websocket/", args.port)
     tornado.ioloop.IOLoop.current().start()

@@ -290,6 +290,16 @@ def mock_server():
     loop_holder["loop"].add_callback(loop_holder["loop"].stop)
 
 
+def test_create_server_session_canvas_warmup():
+    """--session-canvas AOT-exercises the session path at startup and
+    leaves no active session behind."""
+    from diffusiontexturepainting_tpu.serving.run import create_server
+
+    model = MockConditionalInpainter(32)
+    create_server(model=model, resolution=32, session_canvas="64x48")
+    assert not model.session_active()
+
+
 def test_canvas_stroke_painter_paints_a_band():
     from diffusiontexturepainting_tpu.client.canvas_painter import (
         CanvasStrokePainter,
