@@ -191,14 +191,18 @@ async def handle_request_bytes_async(model, raw_message: bytes,
         return await _brush_preview_reply_async(model, settings)
 
     if msg_type >= server_io.RequestType.BEGIN_SESSION.value:
-        # Stroke sessions need a model holding resident canvas state;
-        # the micro-batching connection models of --mesh mode do not
-        # (their per-stamp inputs fan onto a shared device mesh).
+        # Stroke sessions in --mesh mode pin each connection to one chip
+        # (parallel_model.py SessionModel): run the (possibly blocking)
+        # fetch/stamp in the default executor so other painters' strokes
+        # keep flowing through the IOLoop.
         if not hasattr(model, "begin_session"):
             raise NotImplementedError(
-                "stroke sessions are not available in --mesh "
-                "(micro-batching) serving mode")
-        return _handle_session_request(model, raw_message, msg_type)
+                "this serving model does not support stroke sessions")
+        import asyncio
+
+        loop = asyncio.get_event_loop()
+        return await loop.run_in_executor(
+            None, _handle_session_request, model, raw_message, msg_type)
 
     meta, settings, image = native_io.decode_request(raw_message)
     if meta["type"] == server_io.RequestType.NEW_BRUSH_IMAGE.value:

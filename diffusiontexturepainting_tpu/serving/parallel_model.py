@@ -123,6 +123,7 @@ class SessionModel:
         cond, uncond = base._encode_brush(
             base.params["patch_encoder"], np.asarray(self.image)[None])
         self._cond, self._uncond = cond, uncond
+        self._sess_brush = None  # re-stage onto the session device
 
     def create_preview_brush_context(self, brush_image):
         from .model_base import ConditionalInpainterBase
@@ -140,6 +141,82 @@ class SessionModel:
                      * 255).astype(np.uint8)
         out = await self.generate_u8_async(canvas_u8, **settings)
         return out.astype(np.float32) / 255.0
+
+    # --- stroke sessions: one chip per painter ---------------------------
+    # A stroke session is inherently sequential (each stamp depends on the
+    # previous through the resident canvas), so instead of micro-batching
+    # it is PINNED to one device of the mesh (round-robin): the canvas and
+    # a params replica live in that chip's HBM, and N concurrent painters
+    # stroke on N chips independently. jit caches one executable per
+    # placement, so every session shares the same compiled programs.
+
+    def begin_session(self, canvas_u8: np.ndarray) -> None:
+        canvas_u8 = np.asarray(canvas_u8)
+        if canvas_u8.dtype != np.uint8 or canvas_u8.ndim != 3 \
+                or canvas_u8.shape[2] != 4:
+            raise ValueError("session canvas must be (H, W, 4) uint8 RGBA")
+        if min(canvas_u8.shape[:2]) < self.resolution():
+            raise ValueError("session canvas smaller than the stamp window")
+        svc = self.service
+        if getattr(self, "_sess_device", None) is None:
+            self._sess_device = svc.acquire_session_device()
+        self._sess_params = svc.params_on(self._sess_device)
+        self._sess_key = jax.device_put(svc.base._base_key, self._sess_device)
+        self._sess_canvas = jax.device_put(canvas_u8, self._sess_device)
+        self._sess_brush = None  # (brush, cond, uncond) device cache
+
+    def session_active(self) -> bool:
+        return getattr(self, "_sess_canvas", None) is not None
+
+    def _session_brush(self):
+        if self._sess_brush is None:
+            res = self.resolution()
+            img = self.image
+            if img.shape[0] != res:
+                img = crop_resize_square(img, res).astype(np.float32)
+            put = lambda a: jax.device_put(np.asarray(a), self._sess_device)
+            self._sess_brush = (put(img[None]), put(self._cond),
+                                put(self._uncond))
+        return self._sess_brush
+
+    def stamp_at(self, x0: int, y0: int, return_pixels: bool = True,
+                 overpaint: bool = False, **settings):
+        canvas = self._require_session()
+        svc = self.service
+        base = svc.base
+        steps, cfg_w, tg_w, tg_steps, pad = base._settings_scalars(settings)
+        res = self.resolution()
+        margin = np.int32(max(1, round(37 / 256 * res)) if overpaint else 0)
+        brush, cond, uncond = self._session_brush()
+        fn = base.engine.session_stamp_fn(res, steps,
+                                          base._cache_interval(steps))
+        new_canvas, comp_u8 = fn(
+            self._sess_params, canvas, brush, cond, uncond, self._sess_key,
+            svc.next_counter(), np.int32(x0), np.int32(y0), cfg_w, tg_w,
+            tg_steps, pad, margin)
+        self._sess_canvas = new_canvas
+        return np.asarray(comp_u8) if return_pixels else None
+
+    def erase_at(self, x0: int, y0: int, return_pixels: bool = True):
+        canvas = self._require_session()
+        fn = self.service.base.engine.session_erase_fn(self.resolution())
+        new_canvas, crop_u8 = fn(canvas, np.int32(x0), np.int32(y0))
+        self._sess_canvas = new_canvas
+        return np.asarray(crop_u8) if return_pixels else None
+
+    def fetch_canvas(self) -> np.ndarray:
+        return np.asarray(self._require_session())
+
+    def end_session(self) -> None:
+        self._sess_canvas = None
+        self._sess_brush = None
+
+    def _require_session(self):
+        canvas = getattr(self, "_sess_canvas", None)
+        if canvas is None:
+            raise RuntimeError("no active stroke session (BEGIN_SESSION "
+                               "first)")
+        return canvas
 
 
 class ParallelInpainterService:
@@ -160,9 +237,30 @@ class ParallelInpainterService:
         self.dispatcher = _BatchDispatcher(
             self._run_batch, max_batch or self.data_size, window_ms)
         self._counter = 0
+        self._session_rr = 0
+        self._session_params: Dict[int, object] = {}
 
     def new_session(self) -> SessionModel:
         return SessionModel(self)
+
+    def next_counter(self) -> np.uint32:
+        self._counter += 1
+        return np.uint32(self._counter)
+
+    def acquire_session_device(self):
+        """Round-robin a mesh device for a new stroke session."""
+        devices = list(self.mesh.devices.flatten())
+        device = devices[self._session_rr % len(devices)]
+        self._session_rr += 1
+        return device
+
+    def params_on(self, device):
+        """A full params replica resident on `device` (one per chip,
+        shared by every session pinned there)."""
+        if device.id not in self._session_params:
+            self._session_params[device.id] = jax.device_put(
+                self.base.params, device)
+        return self._session_params[device.id]
 
     async def submit(self, session: SessionModel, canvas_u8, settings):
         canvas_u8 = np.asarray(canvas_u8)

@@ -113,6 +113,58 @@ def test_single_session_not_blocked(parallel_server):
     assert results[0] is not None
 
 
+def _run_stroke_session(port, seed, results, idx):
+    from diffusiontexturepainting_tpu.client.websocket_model import (
+        WebsocketConditionalInpainter,
+    )
+
+    rng = np.random.default_rng(seed)
+    c = WebsocketConditionalInpainter(f"ws://127.0.0.1:{port}/websocket/",
+                                      resolution=RES)
+    c.set_brush(rng.random((RES, RES, 3)).astype(np.float32))
+    canvas = np.zeros((RES, 2 * RES, 4), np.uint8)
+    canvas[: RES // 2, :, :3] = rng.integers(
+        0, 256, (RES // 2, 2 * RES, 3), dtype=np.uint8)
+    canvas[: RES // 2, :, 3] = 255
+    c.begin_session(canvas)
+    settings = dict(steps=2, width=RES, context_pad=8, cfg_weight=2.0,
+                    tg_weight=1.0, tg_steps=2)
+    for i in range(3):
+        c.stamp_at(i * (RES // 4), 0, return_pixels=False, wait=False,
+                   **settings)
+    fetched = c.fetch_canvas()
+    c.end_session()
+    c.close()
+    results[idx] = (canvas, fetched)
+
+
+def test_concurrent_stroke_sessions_pin_to_chips(parallel_server):
+    """Two painters stroke concurrently; each session is pinned to its
+    own mesh device, canvases stay independent, stamps land."""
+    port = parallel_server["port"]
+    results = [None] * 2
+    threads = [
+        threading.Thread(target=_run_stroke_session,
+                         args=(port, 30 + i, results, i))
+        for i in range(2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    service = parallel_server["service"]
+    assert service._session_rr >= 2  # two devices were acquired
+    for i, r in enumerate(results):
+        assert r is not None, f"stroke session {i} did not finish"
+        canvas, fetched = r
+        assert fetched.shape == canvas.shape
+        # stamps painted new coverage under the edge mask
+        assert fetched[..., 3].sum() > canvas[..., 3].sum()
+        # each painter's untouched right edge is intact
+        np.testing.assert_array_equal(fetched[:, -RES // 2:],
+                                      canvas[:, -RES // 2:])
+
+
 def test_batch_dispatcher_pads_and_scatter():
     """Unit: dispatcher pads a partial batch and scatters per-request
     results in order."""
