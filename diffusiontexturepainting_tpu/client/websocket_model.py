@@ -87,6 +87,7 @@ class WebsocketConditionalInpainter(ConditionalInpainterBase):
     # whole stroke instead of taxing every stamp.
 
     def begin_session(self, canvas_u8: np.ndarray) -> None:
+        self._drain_acks()  # a prior stroke's acks must not pair with ours
         self._flush_pending_brush()
         canvas_u8 = np.asarray(canvas_u8)
         if canvas_u8.dtype != np.uint8:

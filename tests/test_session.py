@@ -370,6 +370,15 @@ def test_websocket_fire_and_forget_stroke(mock_server):
         out = client.stamp_at(0, 0)
         assert out.shape == (32, 32, 3)
         client.end_session()
+
+        # re-begin with in-flight acks from a new stroke must not desync
+        client.begin_session(canvas)
+        client.stamp_at(0, 0, return_pixels=False, wait=False)
+        client.stamp_at(8, 0, return_pixels=False, wait=False)
+        client.begin_session(canvas)  # drains the 2 outstanding acks
+        out = client.stamp_at(4, 4)
+        assert out.shape == (32, 32, 3)
+        client.end_session()
     finally:
         client.close()
 
