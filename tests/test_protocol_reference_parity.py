@@ -82,3 +82,52 @@ def test_response_bytes(ref):
         ref.encode_generated_response(ref.RequestType.RETURN_PREVIEW, img))
     assert resp["type"] == ours.RequestType.RETURN_PREVIEW.value
     np.testing.assert_array_equal(resp["image"], img)
+
+
+def test_kit_traffic_replay_through_live_handler(ref):
+    """Replay a full Kit-client session encoded ENTIRELY by the
+    reference's own codec through our request handler, and decode every
+    reply with the reference codec - the stock Omniverse client's byte
+    stream, end to end (SURVEY.md section 7 'integration test that
+    replays recorded Kit traffic')."""
+    from diffusiontexturepainting_tpu.client.mock_model import (
+        MockConditionalInpainter,
+    )
+    from diffusiontexturepainting_tpu.serving.handler import (
+        handle_request_bytes,
+    )
+
+    rng = np.random.default_rng(3)
+    model = MockConditionalInpainter(32)
+
+    # 1) NEW_BRUSH_IMAGE exactly as the Kit client sends it
+    brush = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    req = (ref.encode_request_type(ref.RequestType.NEW_BRUSH_IMAGE)
+           + ref.encode_inference_settings(steps=2, width=32, context_pad=8,
+                                           cfg_weight=2.0, tg_weight=1.0,
+                                           tg_steps=2)
+           + ref.encode_new_brush_image_request(brush))
+    reply = handle_request_bytes(model, bytes(req))
+    resp = ref.decode_response(reply)
+    assert resp["type"] == ref.RequestType.RETURN_PREVIEW.value
+    assert resp["image"].shape[2] == 3
+
+    # 2) a 3-stamp stroke, each stamp a NEW_STAMP request
+    canvas = np.zeros((32, 32, 4), np.uint8)
+    canvas[:16, :, :3] = rng.integers(0, 256, (16, 32, 3), dtype=np.uint8)
+    canvas[:16, :, 3] = 255
+    for _ in range(3):
+        req = (ref.encode_request_type(ref.RequestType.NEW_STAMP)
+               + ref.encode_inference_settings(steps=2, width=32,
+                                               context_pad=8, cfg_weight=2.0,
+                                               tg_weight=1.0, tg_steps=2)
+               + ref.image_to_binary(canvas))
+        reply = handle_request_bytes(model, bytes(req))
+        resp = ref.decode_response(reply)
+        assert resp["type"] == ref.RequestType.RETURN_STAMP.value
+        out = np.asarray(resp["image"]).reshape(32, 32, 3)
+        # painted region preserved (the Kit client relies on this)
+        np.testing.assert_array_equal(out[:16], canvas[:16, :, :3])
+        # stroke continuity: feed the composited stamp back as the canvas
+        canvas = np.concatenate(
+            [out, np.full((32, 32, 1), 255, np.uint8)], axis=-1)
