@@ -130,13 +130,25 @@ def main():
             model.end_session()
             return dt_ms / args.stroke
 
-        one_stroke()  # warmup (compiles the session program)
-        per_stamp = [one_stroke() for _ in range(args.stroke_rounds)]
-        stroke_stats = percentile_stats(per_stamp)
-        print(f"stroke-stream per-stamp (over {args.stroke}-stamp strokes): "
-              f"{stroke_stats}", file=sys.stderr)
-        print(f"stroke stamps/sec/chip: {1000.0 / stroke_stats['mean']:.2f}",
-              file=sys.stderr)
+        # Never let the stroke path take the whole benchmark down: if the
+        # session program fails on this backend, fall back to headlining
+        # the isolated-request numbers already measured above.
+        try:
+            one_stroke()  # warmup (compiles the session program)
+            per_stamp = [one_stroke() for _ in range(args.stroke_rounds)]
+            stroke_stats = percentile_stats(per_stamp)
+            print(f"stroke-stream per-stamp (over {args.stroke}-stamp "
+                  f"strokes): {stroke_stats}", file=sys.stderr)
+            print("stroke stamps/sec/chip: "
+                  f"{1000.0 / stroke_stats['mean']:.2f}", file=sys.stderr)
+        except Exception as exc:  # pragma: no cover - device-specific
+            stroke_stats = None
+            print(f"stroke-stream path failed ({exc!r}); falling back to "
+                  f"the isolated-request headline", file=sys.stderr)
+            try:
+                model.end_session()
+            except Exception:
+                pass
 
     target_ms = 100.0  # BASELINE.json north-star: <100 ms p50
     cfg_tag = (f"{args.steps}-step DDIM"
