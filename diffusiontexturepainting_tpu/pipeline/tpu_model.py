@@ -340,6 +340,12 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
         executed, then downloads the canvas once."""
         return np.asarray(self._require_session())
 
+    def sync_session(self) -> None:
+        """Block until every queued stamp has executed, downloading one
+        byte instead of the whole canvas (block_until_ready does not
+        guarantee completion on tunneled backends; fetching data does)."""
+        np.asarray(self._require_session().ravel()[:1])
+
     def end_session(self) -> None:
         self._session_canvas = None
 

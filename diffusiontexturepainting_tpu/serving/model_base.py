@@ -141,6 +141,13 @@ class ConditionalInpainterBase(ABC):
         """The current resident canvas as (H, W, 4) uint8."""
         return self._require_session().copy()
 
+    def sync_session(self) -> None:
+        """Block until every queued stamp of the stroke has executed,
+        WITHOUT downloading the canvas (host fallback: a no-op, stamps
+        are synchronous here). Device models override with a one-byte
+        fetch so tools can separate compute time from transfer time."""
+        self._require_session()
+
     def end_session(self) -> None:
         self._session_canvas = None
 

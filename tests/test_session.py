@@ -199,6 +199,21 @@ def test_device_session_chains_stamps(tiny_model):
     assert not model.session_active()
 
 
+def test_sync_session_blocks_without_fetch(tiny_model):
+    """sync_session completes queued stamps but leaves the canvas
+    resident; a later fetch still returns the stamped result."""
+    model = tiny_model
+    canvas = make_canvas(h=96, w=160, seed=9)
+    model.begin_session(canvas)
+    model.stamp_at(0, 0, return_pixels=False, **settings_small)
+    model.sync_session()
+    assert model.session_active()
+    assert not np.array_equal(model.fetch_canvas(), canvas)
+    model.end_session()
+    with pytest.raises(RuntimeError):
+        model.sync_session()
+
+
 def test_device_session_erase(tiny_model):
     model = tiny_model
     canvas = make_canvas(h=96, w=160, seed=4)
