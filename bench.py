@@ -112,7 +112,7 @@ def main():
     # stroke is synchronized by ONE fetch_canvas at the end, exactly as
     # the stroke-session client paths do (client/websocket_model.py).
     stroke_stats = None
-    if args.stroke > 0:
+    if args.stroke > 0 and not args.no_stroke:
         res = args.resolution
         canvas_big = np.zeros((2 * res, 2 * res, 4), np.uint8)
         canvas_big[:res] = np.concatenate([canvas, canvas], axis=1)

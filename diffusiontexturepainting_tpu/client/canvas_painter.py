@@ -48,6 +48,13 @@ class CanvasStrokePainter:
         self.undo_stack: deque[np.ndarray] = deque(maxlen=undo_depth)
         self._prev: np.ndarray | None = None
         self._in_stroke = False
+        # Last synchronized canvas state. This painter is the session's
+        # only writer, so as long as no stamp fired since the last sync
+        # the cached copy IS the server canvas - begin_stroke's undo
+        # snapshot then needs no fetch (a full canvas download + round
+        # trip per stroke otherwise).
+        self._synced: np.ndarray = canvas.copy()
+        self._dirty = False
         # websocket models take wait=False (fire-and-forget streaming);
         # in-process models dispatch asynchronously anyway
         import inspect
@@ -74,13 +81,19 @@ class CanvasStrokePainter:
     # --- stroke lifecycle -------------------------------------------------
 
     def begin_stroke(self, x: float, y: float) -> int:
-        """Push undo state (synchronizes the session once) and place the
-        first stamp at center (x, y)."""
-        self.undo_stack.append(self.model.fetch_canvas())
+        """Push undo state (from the cached sync when clean, one fetch
+        otherwise) and place the first stamp at center (x, y)."""
+        self.undo_stack.append(self._snapshot())
         self._in_stroke = True
         self._stamp(x, y)
         self._prev = np.array([x, y], np.float32)
         return 1
+
+    def _snapshot(self) -> np.ndarray:
+        if self._dirty:
+            self._synced = self.model.fetch_canvas()
+            self._dirty = False
+        return self._synced.copy()
 
     def move(self, x: float, y: float) -> int:
         """Cursor moved; emit interpolated stamps along the segment every
@@ -116,18 +129,24 @@ class CanvasStrokePainter:
         if self._supports_wait:
             kw["wait"] = False
         fn(x0, y0, return_pixels=False, **kw)
+        self._dirty = True
 
     # --- canvas access ----------------------------------------------------
 
     @property
     def texture(self) -> np.ndarray:
         """The current canvas (synchronizes all in-flight stamps)."""
-        return self.model.fetch_canvas()
+        self._synced = self.model.fetch_canvas()
+        self._dirty = False
+        return self._synced.copy()
 
     def undo(self) -> bool:
         if not self.undo_stack:
             return False
-        self.model.begin_session(self.undo_stack.pop())
+        restored = self.undo_stack.pop()
+        self.model.begin_session(restored)
+        self._synced = restored.copy()
+        self._dirty = False
         return True
 
     def bake(self, path: str):

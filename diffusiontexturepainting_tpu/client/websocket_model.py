@@ -108,8 +108,9 @@ class WebsocketConditionalInpainter(ConditionalInpainterBase):
         self._inflight = getattr(self, "_inflight", 0) + 1
         if return_pixels:
             self._drain_acks(all_but=1)
-            reply = server_io.decode_response(self.ws.recv())
-            self._inflight = 0
+            raw = self.ws.recv()
+            self._inflight = 0  # our request was the only one outstanding
+            reply = server_io.decode_response(raw)  # raises on RETURN_ERROR
             return reply["image"]
         if wait:
             self._drain_acks()
@@ -122,8 +123,9 @@ class WebsocketConditionalInpainter(ConditionalInpainterBase):
         self._inflight = getattr(self, "_inflight", 0) + 1
         if return_pixels:
             self._drain_acks(all_but=1)
-            reply = server_io.decode_response(self.ws.recv())
+            raw = self.ws.recv()
             self._inflight = 0
+            reply = server_io.decode_response(raw)
             return reply["image"]
         if wait:
             self._drain_acks()
@@ -147,11 +149,16 @@ class WebsocketConditionalInpainter(ConditionalInpainterBase):
 
     def _collect_ack(self) -> int:
         reply = self.ws.recv()
+        # The server replied - the request is no longer in flight, even
+        # if the reply is a RETURN_ERROR (which raises below).
+        self._inflight = max(0, getattr(self, "_inflight", 1) - 1)
         ack = server_io.decode_ack_response(reply)
+        if ack["type"] == server_io.RequestType.RETURN_ERROR.value:
+            raise server_io.ServerError(
+                server_io.decode_error_response(reply)["message"])
         if ack["type"] != server_io.RequestType.RETURN_ACK.value:
             raise RuntimeError(
                 f"expected RETURN_ACK, got type {ack['type']}")
-        self._inflight = max(0, getattr(self, "_inflight", 1) - 1)
         return ack["seq"]
 
     def _flush_pending_brush(self, **settings) -> None:

@@ -298,14 +298,9 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
     # whole stroke without waiting and fetch once at the end.
 
     def begin_session(self, canvas_u8: np.ndarray) -> None:
-        canvas_u8 = np.asarray(canvas_u8)
-        if canvas_u8.dtype != np.uint8 or canvas_u8.ndim != 3 \
-                or canvas_u8.shape[2] != 4:
-            raise ValueError("session canvas must be (H, W, 4) uint8 RGBA")
-        if min(canvas_u8.shape[0], canvas_u8.shape[1]) < self._resolution:
-            raise ValueError(
-                f"session canvas {canvas_u8.shape[:2]} smaller than the "
-                f"stamp window {self._resolution}x{self._resolution}")
+        from ..serving.model_base import validate_session_canvas
+
+        canvas_u8 = validate_session_canvas(canvas_u8, self._resolution)
         self._session_canvas = jnp.asarray(canvas_u8)
 
     def session_active(self) -> bool:

@@ -257,7 +257,11 @@ class InpaintWebSocketHandler(WebSocketHandler):
             logger.exception("Failed to handle incoming message: %s", e)
 
     async def _handle_binary_request(self, raw_message: bytes):
-        if hasattr(self.model, "generate_u8_async"):
+        R = server_io.RequestType
+        msg_type = raw_message[0] if raw_message else -1
+        if R.BEGIN_SESSION.value <= msg_type <= R.END_SESSION.value:
+            reply = await self._handle_session_bytes(raw_message, msg_type)
+        elif hasattr(self.model, "generate_u8_async"):
             reply = await handle_request_bytes_async(
                 self.model, raw_message, debug_dir=self.debug_dir)
         else:
@@ -266,12 +270,69 @@ class InpaintWebSocketHandler(WebSocketHandler):
                                          profile_dir=self.profile_dir)
         self.write_message(reply, binary=True)
 
+    async def _handle_session_bytes(self, raw_message: bytes, msg_type: int):
+        """Stroke-session dispatch with the guarantees a fire-and-forget
+        client needs: every session request gets SOME reply (failures
+        reply RETURN_ERROR instead of the legacy log-and-drop, so the
+        client's ack accounting never desynchronizes), and in
+        single-model serving the resident canvas belongs to ONE
+        connection at a time (a second client's BEGIN_SESSION is
+        rejected instead of silently clobbering the first's stroke)."""
+        R = server_io.RequestType
+        try:
+            if not hasattr(self.model, "begin_session"):
+                return server_io.encode_error_response(
+                    "this serving model does not support stroke sessions")
+            if self.service is None:
+                # one model shared by every connection: enforce ownership
+                owner = getattr(self.model, "_session_owner", None)
+                if owner is not None and owner is not self \
+                        and self.model.session_active():
+                    return server_io.encode_error_response(
+                        "stroke session held by another connection")
+                if msg_type == R.BEGIN_SESSION.value:
+                    self.model._session_owner = self
+            if hasattr(self.model, "generate_u8_async"):
+                # mesh serving: run the chip-pinned stamp off-loop so
+                # other painters' strokes keep flowing
+                import asyncio
+
+                loop = asyncio.get_event_loop()
+                reply = await loop.run_in_executor(
+                    None, _handle_session_request, self.model, raw_message,
+                    msg_type)
+            else:
+                reply = _handle_session_request(self.model, raw_message,
+                                                msg_type)
+            if msg_type == R.END_SESSION.value and self.service is None:
+                self.model._session_owner = None
+            return reply
+        except Exception as e:  # noqa: BLE001 - reply, never silence
+            logger.exception("session request failed: %s", e)
+            return server_io.encode_error_response(
+                f"{type(e).__name__}: {e}")
+
     def _handle_json_request(self, raw_message: str):
         json.loads(raw_message)
         raise NotImplementedError("Json messages not handled")
 
     def on_close(self):
         logger.info("Socket closed.")
+        model = getattr(self, "model", None)
+        if model is None:
+            return
+        owns = getattr(model, "_session_owner", None) is self
+        if owns:
+            model._session_owner = None
+        # free the resident canvas this connection held (single-model
+        # ownership, or the per-connection SessionModel in --mesh mode)
+        if (owns or self.service is not None) \
+                and hasattr(model, "session_active"):
+            try:
+                if model.session_active():
+                    model.end_session()
+            except Exception:  # noqa: BLE001 - teardown must not raise
+                logger.exception("failed to end session on close")
 
     def check_origin(self, origin):  # allow cross-origin tools/clients
         return True

@@ -85,15 +85,7 @@ class ConditionalInpainterBase(ABC):
     # semantics for free.
 
     def begin_session(self, canvas_u8: np.ndarray) -> None:
-        canvas_u8 = np.asarray(canvas_u8)
-        if canvas_u8.dtype != np.uint8 or canvas_u8.ndim != 3 \
-                or canvas_u8.shape[2] != 4:
-            raise ValueError("session canvas must be (H, W, 4) uint8 RGBA")
-        res = self.resolution()
-        if canvas_u8.shape[0] < res or canvas_u8.shape[1] < res:
-            raise ValueError(
-                f"session canvas {canvas_u8.shape[:2]} smaller than the "
-                f"stamp window {res}x{res}")
+        canvas_u8 = validate_session_canvas(canvas_u8, self.resolution())
         self._session_canvas = canvas_u8.copy()
 
     def session_active(self) -> bool:
@@ -104,7 +96,7 @@ class ConditionalInpainterBase(ABC):
         """One stroke stamp into the resident canvas at top-left (x0, y0)
         (clamped to fit). Returns the composited res^2 crop as uint8 RGB
         when return_pixels, else None."""
-        from ..pipeline.session import host_stamp_update
+        from ..pipeline.session import STAMP_EDGE_MARGIN
 
         canvas = self._require_session()
         res = self.resolution()
@@ -117,7 +109,14 @@ class ConditionalInpainterBase(ABC):
             crop[margin:res - margin, margin:res - margin, 3] = 0.0
             crop[..., :3] *= crop[..., 3:4]
         comp_u8 = float01_to_uint8(self.generate(crop, **settings))
-        self._session_canvas = host_stamp_update(canvas, comp_u8, x0, y0)
+        # In-place window write (the session owns its private canvas copy;
+        # same update rule as pipeline/session.py host_stamp_update, which
+        # stays pure as the test oracle): O(res^2) per stamp instead of a
+        # full-canvas copy.
+        m = STAMP_EDGE_MARGIN
+        window = canvas[y0:y0 + res, x0:x0 + res]
+        window[m:res - m, m:res - m, :3] = comp_u8[m:res - m, m:res - m]
+        window[m:res - m, m:res - m, 3] = 255
         return comp_u8 if return_pixels else None
 
     def erase_at(self, x0: int, y0: int, return_pixels: bool = True):
@@ -132,9 +131,7 @@ class ConditionalInpainterBase(ABC):
         circle = circle_mask(res) > 0.0
         window = canvas[y0:y0 + res, x0:x0 + res]
         new_window = np.where(circle, np.uint8(0), window)
-        canvas = canvas.copy()
-        canvas[y0:y0 + res, x0:x0 + res] = new_window
-        self._session_canvas = canvas
+        window[...] = new_window  # in place: the session owns the canvas
         return new_window[..., :3] if return_pixels else None
 
     def fetch_canvas(self) -> np.ndarray:
@@ -157,6 +154,21 @@ class ConditionalInpainterBase(ABC):
             raise RuntimeError("no active stroke session (BEGIN_SESSION "
                                "first)")
         return canvas
+
+
+def validate_session_canvas(canvas_u8: np.ndarray, res: int) -> np.ndarray:
+    """Single source of the stroke-session canvas contract, shared by the
+    host fallback and the device/mesh overrides: (H, W, 4) uint8 RGBA,
+    at least as large as the res^2 stamp window."""
+    canvas_u8 = np.asarray(canvas_u8)
+    if canvas_u8.dtype != np.uint8 or canvas_u8.ndim != 3 \
+            or canvas_u8.shape[2] != 4:
+        raise ValueError("session canvas must be (H, W, 4) uint8 RGBA")
+    if canvas_u8.shape[0] < res or canvas_u8.shape[1] < res:
+        raise ValueError(
+            f"session canvas {canvas_u8.shape[:2]} smaller than the "
+            f"stamp window {res}x{res}")
+    return canvas_u8
 
 
 def ensure_float01(image: np.ndarray) -> np.ndarray:

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Tuple
 
@@ -151,12 +152,9 @@ class SessionModel:
     # placement, so every session shares the same compiled programs.
 
     def begin_session(self, canvas_u8: np.ndarray) -> None:
-        canvas_u8 = np.asarray(canvas_u8)
-        if canvas_u8.dtype != np.uint8 or canvas_u8.ndim != 3 \
-                or canvas_u8.shape[2] != 4:
-            raise ValueError("session canvas must be (H, W, 4) uint8 RGBA")
-        if min(canvas_u8.shape[:2]) < self.resolution():
-            raise ValueError("session canvas smaller than the stamp window")
+        from .model_base import validate_session_canvas
+
+        canvas_u8 = validate_session_canvas(canvas_u8, self.resolution())
         svc = self.service
         if getattr(self, "_sess_device", None) is None:
             self._sess_device = svc.acquire_session_device()
@@ -239,28 +237,37 @@ class ParallelInpainterService:
         self._counter = 0
         self._session_rr = 0
         self._session_params: Dict[int, object] = {}
+        # Session requests run on default-executor threads (handler.py
+        # keeps the IOLoop free), so the shared counters/caches below are
+        # reached concurrently and need a lock.
+        self._lock = threading.Lock()
 
     def new_session(self) -> SessionModel:
         return SessionModel(self)
 
     def next_counter(self) -> np.uint32:
-        self._counter += 1
-        return np.uint32(self._counter)
+        with self._lock:
+            self._counter += 1
+            return np.uint32(self._counter)
 
     def acquire_session_device(self):
         """Round-robin a mesh device for a new stroke session."""
         devices = list(self.mesh.devices.flatten())
-        device = devices[self._session_rr % len(devices)]
-        self._session_rr += 1
+        with self._lock:
+            device = devices[self._session_rr % len(devices)]
+            self._session_rr += 1
         return device
 
     def params_on(self, device):
         """A full params replica resident on `device` (one per chip,
-        shared by every session pinned there)."""
-        if device.id not in self._session_params:
-            self._session_params[device.id] = jax.device_put(
-                self.base.params, device)
-        return self._session_params[device.id]
+        shared by every session pinned there). Staging is serialized so
+        two painters landing on the same chip simultaneously cannot
+        double-allocate the full SD-1.5 replica."""
+        with self._lock:
+            if device.id not in self._session_params:
+                self._session_params[device.id] = jax.device_put(
+                    self.base.params, device)
+            return self._session_params[device.id]
 
     async def submit(self, session: SessionModel, canvas_u8, settings):
         canvas_u8 = np.asarray(canvas_u8)
@@ -269,12 +276,11 @@ class ParallelInpainterService:
         res = int(canvas_u8.shape[0])
         cfg = self.base.config
         steps = int(settings.get("steps", cfg.denoising_steps))
-        self._counter += 1
         payload = dict(
             canvas=canvas_u8,
             brush=self._brush_at(session, res),
             cond=session._cond, uncond=session._uncond,
-            counter=np.uint32(self._counter),
+            counter=self.next_counter(),
             cfg_weight=np.float32(settings.get("cfg_weight",
                                                cfg.guidance_scale)),
             tg_weight=np.float32(settings.get("tg_weight",

@@ -52,6 +52,28 @@ class InpaintHTTPHandler(tornado.web.RequestHandler):
         self.write(bytes(reply))
 
 
+def _warm_session(model, session_canvas: str, warmup_points=None):
+    """AOT-compile the stroke-session program for the declared canvas size
+    (the session analog of --warmup-points): one dummy begin/stamp/fetch/
+    end per step count, so the first client stroke is steady-state. Step
+    counts come from --warmup-points (plus the config default), because
+    the session program is specialized per (resolution, steps, canvas
+    shape)."""
+    import numpy as np
+
+    w, h = (int(v) for v in session_canvas.lower().split("x"))
+    steps_list = [None] + sorted({int(s) for (_r, s) in (warmup_points or [])})
+    logger.info("warming session program for a %dx%d canvas "
+                "(step counts: %s)...", w, h,
+                ["default" if s is None else s for s in steps_list])
+    model.begin_session(np.zeros((h, w, 4), np.uint8))
+    for s in steps_list:
+        model.stamp_at(0, 0, return_pixels=False,
+                       **({} if s is None else {"steps": s}))
+    model.fetch_canvas()
+    model.end_session()
+
+
 def create_server(model=None, resolution: int = 256, debug_dir: str | None = None,
                   mock: bool = False, warmup: bool = True,
                   checkpoint_dir: str | None = None,
@@ -75,6 +97,11 @@ def create_server(model=None, resolution: int = 256, debug_dir: str | None = Non
         service = make_parallel_service(
             resolution, mesh, checkpoint_dir=checkpoint_dir,
             scheduler=scheduler, window_ms=batch_window_ms)
+        if session_canvas:
+            # Warm ONE chip-pinned session (the persistent compile cache
+            # makes the other chips' first strokes cheap).
+            warm = service.new_session()
+            _warm_session(warm, session_canvas, warmup_points)
         model_info = (f"tpu-sd15-inpaint mesh[{mesh}]"
                       + ("" if checkpoint_dir else " (random weights)"))
         return tornado.web.Application(
@@ -111,17 +138,7 @@ def create_server(model=None, resolution: int = 256, debug_dir: str | None = Non
         model_info = type(model).__name__
 
     if session_canvas and hasattr(model, "begin_session"):
-        # AOT-compile the stroke-session program for the declared canvas
-        # size (the session analog of --warmup-points): one dummy
-        # begin/stamp/fetch/end so the first client stroke is steady-state.
-        import numpy as np
-
-        w, h = (int(v) for v in session_canvas.lower().split("x"))
-        logger.info("warming session program for a %dx%d canvas...", w, h)
-        model.begin_session(np.zeros((h, w, 4), np.uint8))
-        model.stamp_at(0, 0, return_pixels=False)
-        model.fetch_canvas()
-        model.end_session()
+        _warm_session(model, session_canvas, warmup_points)
 
     return tornado.web.Application(
         [

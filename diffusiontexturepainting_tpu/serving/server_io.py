@@ -49,6 +49,11 @@ class RequestType(enum.Enum):
     END_SESSION = 20     # settings only -> RETURN_ACK
     RETURN_ACK = 21      # [u32 seq]
     RETURN_CANVAS = 22   # RGBA canvas payload
+    RETURN_ERROR = 23    # [u32 len][utf-8 message] - session-request
+    #                      failures reply with this instead of silence so
+    #                      a fire-and-forget client's ack accounting
+    #                      stays in sync (legacy types < 16 keep the
+    #                      reference's log-and-drop behavior)
 
 
 @dataclass
@@ -153,6 +158,8 @@ def encode_generated_response(response_type: RequestType, result_img: np.ndarray
 
 def decode_response(bytes_msg: bytes, offset: int = 0):
     (response_type,) = struct.unpack_from("<B", bytes_msg, offset)
+    if response_type == RequestType.RETURN_ERROR.value:
+        raise ServerError(decode_error_response(bytes_msg, offset)["message"])
     return {"type": response_type, "image": binary_to_image(bytes_msg, offset + 1)}
 
 
@@ -275,3 +282,22 @@ def decode_ack_response(bytes_msg: bytes, offset: int = 0):
     (response_type,) = struct.unpack_from("<B", bytes_msg, offset)
     (seq,) = struct.unpack_from("<I", bytes_msg, offset + 1)
     return {"type": response_type, "seq": seq}
+
+
+class ServerError(RuntimeError):
+    """A RETURN_ERROR reply from the server (session-request failure)."""
+
+
+def encode_error_response(message: str) -> bytes:
+    data = str(message).encode("utf-8")[:4096]
+    return (encode_request_type(RequestType.RETURN_ERROR)
+            + struct.pack("<I", len(data)) + data)
+
+
+def decode_error_response(bytes_msg: bytes, offset: int = 0):
+    (response_type,) = struct.unpack_from("<B", bytes_msg, offset)
+    (length,) = struct.unpack_from("<I", bytes_msg, offset + 1)
+    start = offset + 5
+    return {"type": response_type,
+            "message": bytes(bytes_msg[start:start + length]).decode(
+                "utf-8", "replace")}

@@ -398,6 +398,155 @@ def test_websocket_fire_and_forget_stroke(mock_server):
         client.close()
 
 
+def test_error_response_codec():
+    enc = server_io.encode_error_response("boom: something failed")
+    assert enc[0] == server_io.RequestType.RETURN_ERROR.value
+    dec = server_io.decode_error_response(enc)
+    assert dec["message"] == "boom: something failed"
+    with pytest.raises(server_io.ServerError, match="something failed"):
+        server_io.decode_response(enc)
+
+
+def test_session_error_reply_and_ownership(mock_server):
+    """Session failures reply RETURN_ERROR (never silence), and in
+    single-model serving the resident canvas belongs to one connection:
+    a second client's session requests are rejected until the owner
+    ends its session."""
+    from websockets.sync.client import connect
+
+    url = f"ws://127.0.0.1:{mock_server}/websocket/"
+    R = server_io.RequestType
+    ws_a = connect(url, max_size=None)
+    ws_b = connect(url, max_size=None)
+    try:
+        # stamp without BEGIN_SESSION -> error reply, connection alive
+        ws_a.send(server_io.encode_stamp_at_request(0, 0,
+                                                    return_pixels=False))
+        reply = ws_a.recv()
+        assert reply[0] == R.RETURN_ERROR.value
+        assert "session" in \
+            server_io.decode_error_response(reply)["message"].lower()
+
+        canvas = make_canvas(64, 96)
+        ws_a.send(server_io.encode_begin_session_request(canvas))
+        assert ws_a.recv()[0] == R.RETURN_ACK.value
+
+        # second connection can neither begin nor stamp while A paints
+        ws_b.send(server_io.encode_begin_session_request(canvas))
+        assert ws_b.recv()[0] == R.RETURN_ERROR.value
+        ws_b.send(server_io.encode_stamp_at_request(0, 0,
+                                                    return_pixels=False))
+        assert ws_b.recv()[0] == R.RETURN_ERROR.value
+
+        # A keeps painting unharmed, then releases; B may now begin
+        ws_a.send(server_io.encode_stamp_at_request(0, 0,
+                                                    return_pixels=False))
+        assert ws_a.recv()[0] == R.RETURN_ACK.value
+        ws_a.send(server_io.encode_end_session_request())
+        assert ws_a.recv()[0] == R.RETURN_ACK.value
+        ws_b.send(server_io.encode_begin_session_request(canvas))
+        assert ws_b.recv()[0] == R.RETURN_ACK.value
+        ws_b.send(server_io.encode_end_session_request())
+        assert ws_b.recv()[0] == R.RETURN_ACK.value
+    finally:
+        ws_a.close()
+        ws_b.close()
+
+
+def test_client_raises_server_error(mock_server):
+    from diffusiontexturepainting_tpu.client.websocket_model import (
+        WebsocketConditionalInpainter,
+    )
+
+    client = WebsocketConditionalInpainter(
+        f"ws://127.0.0.1:{mock_server}/websocket/", resolution=32)
+    try:
+        with pytest.raises(server_io.ServerError):
+            client.stamp_at(0, 0, return_pixels=False)  # no session yet
+        # the error consumed the in-flight slot; the connection is usable
+        client.begin_session(make_canvas(64, 96))
+        client.stamp_at(0, 0, return_pixels=False)
+        client.end_session()
+    finally:
+        client.close()
+
+
+def test_canvas_painter_snapshot_reuses_synced_state():
+    """begin_stroke's undo snapshot must not fetch when the cached sync
+    is current (no stamps since the last fetch)."""
+    from diffusiontexturepainting_tpu.client.canvas_painter import (
+        CanvasStrokePainter,
+    )
+
+    model = MockConditionalInpainter(32)
+    model.set_brush(np.full((32, 32, 3), 0.5, np.float32))
+    p = CanvasStrokePainter(model, width=64, height=64)
+    calls = {"n": 0}
+    orig = model.fetch_canvas
+
+    def counting_fetch():
+        calls["n"] += 1
+        return orig()
+
+    model.fetch_canvas = counting_fetch
+    p.begin_stroke(16, 16)  # snapshot from the init-time cache: no fetch
+    p.end_stroke()
+    assert calls["n"] == 0
+    _ = p.texture           # explicit sync
+    assert calls["n"] == 1
+    p.begin_stroke(32, 32)  # clean cache: still no extra fetch
+    p.end_stroke()
+    assert calls["n"] == 1
+    p.begin_stroke(40, 40)  # dirty (previous stroke stamped): one fetch
+    p.end_stroke()
+    assert calls["n"] == 2
+    # undo three times walks back to the empty canvas
+    assert p.undo() and p.undo() and p.undo()
+    assert p.texture.sum() == 0
+    p.close()
+
+
+def test_parallel_service_counters_thread_safe():
+    """next_counter / acquire_session_device are hit from executor
+    threads; they must never hand out duplicates."""
+    import threading as _threading
+    from types import SimpleNamespace
+
+    from diffusiontexturepainting_tpu.serving.parallel_model import (
+        ParallelInpainterService,
+    )
+
+    svc = object.__new__(ParallelInpainterService)
+    svc._counter = 0
+    svc._session_rr = 0
+    svc._session_params = {}
+    svc._lock = _threading.Lock()
+    svc.mesh = SimpleNamespace(
+        devices=np.array([SimpleNamespace(id=i) for i in range(4)]))
+
+    counters, devices = [], []
+    lock = _threading.Lock()
+
+    def worker():
+        got_c, got_d = [], []
+        for _ in range(200):
+            got_c.append(int(svc.next_counter()))
+            got_d.append(svc.acquire_session_device().id)
+        with lock:
+            counters.extend(got_c)
+            devices.extend(got_d)
+
+    threads = [_threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(set(counters)) == 8 * 200  # no duplicate RNG counters
+    # round-robin stays balanced under contention
+    counts = [devices.count(i) for i in range(4)]
+    assert counts == [8 * 200 // 4] * 4
+
+
 def test_canvas_painter_over_websocket(mock_server):
     from diffusiontexturepainting_tpu.client.canvas_painter import (
         CanvasStrokePainter,
