@@ -27,7 +27,8 @@ from jax.experimental.pallas import tpu as pltpu
 _LOG2E = 1.4426950408889634  # log2(e)
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                 exp2_bf16: bool = False):
     # VPU-lean softmax: the serial VPU work between the two MXU calls is
     # what keeps this kernel off the matmul floor (profiled 1.54 ms vs
     # the 1.05 ms padded-MXU floor at the 4096-token level), so every
@@ -37,7 +38,13 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     #     exp2(x*log2e) anyway - pre-folding deletes one O(Bq*Lk)
     #     multiply pass over the score block);
     #   - the softmax divide is deferred past PV: O(Bq*hd) divides on the
-    #     output instead of O(Bq*Lk) on the probabilities.
+    #     output instead of O(Bq*Lk) on the probabilities;
+    #   - exp2_bf16 evaluates exp2 on bf16 logits: the probabilities are
+    #     cast to bf16 for the PV matmul ANYWAY, so precision is
+    #     unchanged to first order (the bf16 rounding moves from after
+    #     exp2 to before it) while the transcendental pass runs at the
+    #     packed-bf16 VPU rate and the separate f32->bf16 cast pass
+    #     disappears. The row sum still accumulates in f32.
     q = q_ref[0]  # (Bq, hd)
     k = k_ref[0]  # (Lk, hd)
     v = v_ref[0]  # (Lk, hd)
@@ -46,9 +53,16 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
         qs, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # (Bq, Lk) f32, base-2 logits
     m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp2(scores - m)
-    s = jnp.sum(e, axis=-1, keepdims=True)
-    o = jnp.dot(e.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    if exp2_bf16:
+        e = jnp.exp2((scores - m).astype(jnp.bfloat16))
+        s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+        o = jnp.dot(e.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32)
+    else:
+        e = jnp.exp2(scores - m)
+        s = jnp.sum(e, axis=-1, keepdims=True)
+        o = jnp.dot(e.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32)
     o_ref[0] = (o / s).astype(o_ref.dtype)
 
 
@@ -56,12 +70,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "q_block"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "q_block",
+                                              "exp2_bf16"))
 def flash_attention(q, k, v, num_heads: int, scale: float | None = None,
-                    q_block: int | None = None):
+                    q_block: int | None = None, exp2_bf16: bool = False):
     """Fused attention: (B, Lq, D) x (B, Lk, D) -> (B, Lq, D).
 
     D = num_heads * head_dim; head_dim is padded to 128 internally.
+    exp2_bf16: evaluate the softmax exp2 on bf16 logits (see
+    _attn_kernel; a perf A/B knob, numerics within bf16 rounding of the
+    default because probabilities feed a bf16 matmul either way).
     """
     B, Lq, D = q.shape
     Lk = k.shape[1]
@@ -123,7 +141,8 @@ def flash_attention(q, k, v, num_heads: int, scale: float | None = None,
                         preferred_element_type=jnp.float32)
             o_ref[0] = (o / s).astype(o_ref.dtype)
     else:
-        kernel = functools.partial(_attn_kernel, scale=scale)
+        kernel = functools.partial(_attn_kernel, scale=scale,
+                                   exp2_bf16=exp2_bf16)
 
     out = pl.pallas_call(
         kernel,

@@ -31,6 +31,24 @@ def test_flash_matches_xla_self_attention(b, l, heads, hd):
                                atol=2e-5, rtol=1e-4)
 
 
+def test_flash_exp2_bf16_within_bf16_rounding():
+    """The bf16-softmax perf knob: probabilities feed a bf16 matmul on
+    the default path too, so the knob must stay within bf16 rounding of
+    the default kernel's output."""
+    rng = np.random.default_rng(3)
+    b, l, heads, hd = 2, 256, 8, 40
+    d = heads * hd
+    q = jnp.asarray(rng.standard_normal((b, l, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, l, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, l, d)), jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        base = flash_attention(q, k, v, heads)
+        fast = flash_attention(q, k, v, heads, exp2_bf16=True)
+    np.testing.assert_allclose(
+        np.asarray(fast, np.float32), np.asarray(base, np.float32),
+        atol=2e-2, rtol=2e-2)
+
+
 def test_flash_cross_attention_kv14():
     """The serving cross-attention shape: 14 conditioning tokens (padded to
     128 inside the kernel with -inf masking)."""

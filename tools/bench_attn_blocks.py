@@ -77,14 +77,17 @@ def main():
         for bq in blocks:
             if bq > L:
                 continue
-            fn = lambda q_, k_, v_, bq=bq: flash_attention(
-                q_, k_, v_, num_heads=H, q_block=bq)
-            try:
-                t = chained_time(fn, (q, k, v), iters=args.iters)
-                print(f"  q_block={bq:5d}: {t:7.3f} ms")
-            except Exception as e:  # noqa: BLE001 - report and continue
-                print(f"  q_block={bq:5d}: FAILED {type(e).__name__}: "
-                      f"{str(e)[:120]}")
+            for exp2_bf16 in (False, True):
+                fn = lambda q_, k_, v_, bq=bq, xb=exp2_bf16: flash_attention(
+                    q_, k_, v_, num_heads=H, q_block=bq, exp2_bf16=xb)
+                tag = f"q_block={bq:5d}" + (" exp2_bf16" if exp2_bf16
+                                            else "          ")
+                try:
+                    t = chained_time(fn, (q, k, v), iters=args.iters)
+                    print(f"  {tag}: {t:7.3f} ms")
+                except Exception as e:  # noqa: BLE001 - report and continue
+                    print(f"  {tag}: FAILED {type(e).__name__}: "
+                          f"{str(e)[:120]}")
 
 
 if __name__ == "__main__":
