@@ -281,6 +281,7 @@ def test_resnet_return_stats_match_output():
                                atol=1e-3, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_unet_all_fused_matches_module():
     """Tiny UNet with every serving fusion on (resnet chains, FF kernel,
     folded Transformer2D norms) vs the plain module path: same params,

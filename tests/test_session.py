@@ -156,6 +156,7 @@ settings_small = dict(steps=2, cfg_weight=2.0, tg_weight=1.0, tg_steps=2,
                       context_pad=20)
 
 
+@pytest.mark.slow
 def test_device_session_matches_per_request_path(tiny_model):
     """stamp_at == generate_u8 on the same crop with the same RNG counter,
     written back under the host oracle's update rule."""
@@ -175,6 +176,7 @@ def test_device_session_matches_per_request_path(tiny_model):
         model.fetch_canvas(), host_stamp_update(canvas, comp_ref, 40, 16))
 
 
+@pytest.mark.slow
 def test_device_session_chains_stamps(tiny_model):
     """Consecutive overlapping stamps: stamp 2 must see stamp 1's output
     (the data dependency chains through the resident canvas)."""
@@ -199,6 +201,7 @@ def test_device_session_chains_stamps(tiny_model):
     assert not model.session_active()
 
 
+@pytest.mark.slow
 def test_sync_session_blocks_without_fetch(tiny_model):
     """sync_session completes queued stamps but leaves the canvas
     resident; a later fetch still returns the stamped result."""
@@ -214,6 +217,7 @@ def test_sync_session_blocks_without_fetch(tiny_model):
         model.sync_session()
 
 
+@pytest.mark.slow
 def test_device_session_erase(tiny_model):
     model = tiny_model
     canvas = make_canvas(h=96, w=160, seed=4)
