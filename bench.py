@@ -66,6 +66,10 @@ def main():
 
     config = (PipelineConfig(deep_cache_interval=args.deep_cache_interval)
               if args.deep_cache_interval > 1 else None)
+    print(f"[{time.time() - t0:.1f}s] building model (warmup compiles the "
+          f"{args.resolution}px/{args.steps}-step stamp program; cold-cache "
+          f"compile is minutes, warm cache seconds)", file=sys.stderr,
+          flush=True)
     model = TPUConditionalInpainter(
         resolution=args.resolution,
         tiny=args.tiny,
