@@ -23,6 +23,7 @@ Usage: python bench.py [--resolution 512] [--steps 4] [--iters 30]
 
 import argparse
 import json
+import signal
 import sys
 import time
 
@@ -110,6 +111,34 @@ def main():
     print(f"isolated-request stats: {stats}", file=sys.stderr)
     print(f"isolated stamps/sec/chip: {stamps_per_sec:.2f}", file=sys.stderr)
 
+    # From here on a valid result exists. The stroke phase may hit a COLD
+    # compile of the session program (~10+ min on a 1-core host); if an
+    # outer timeout SIGTERMs us mid-compile, still emit the isolated
+    # number instead of dying silently.
+    target_ms = 100.0  # BASELINE.json north-star: <100 ms p50
+    cfg_tag = (f"{args.steps}-step DDIM"
+               + (f"+DeepCache/{args.deep_cache_interval}"
+                  if args.deep_cache_interval > 1 else "")
+               + ", CFG triple-batch")
+
+    def isolated_json():
+        return json.dumps({
+            "metric": (f"p50 ms per {args.resolution}x{args.resolution} "
+                       f"stamp ({cfg_tag}, p99={stats['p99']:.1f}ms, "
+                       f"{stamps_per_sec:.2f} stamps/s/chip)"),
+            "value": round(stats["p50"], 2),
+            "unit": "ms",
+            "vs_baseline": round(target_ms / stats["p50"], 3),
+        })
+
+    def _on_term(signum, frame):  # pragma: no cover - timeout path
+        print("SIGTERM during stroke phase - emitting the isolated-request "
+              "result", file=sys.stderr)
+        print(isolated_json(), flush=True)
+        sys.exit(0)
+
+    signal.signal(signal.SIGTERM, _on_term)
+
     # --- stroke stream: device-resident canvas session -------------------
     # Overlapping stamps march across a 2x-resolution canvas; stamps are
     # fired without per-stamp fetches (return_pixels=False) and the
@@ -154,11 +183,7 @@ def main():
             except Exception:
                 pass
 
-    target_ms = 100.0  # BASELINE.json north-star: <100 ms p50
-    cfg_tag = (f"{args.steps}-step DDIM"
-               + (f"+DeepCache/{args.deep_cache_interval}"
-                  if args.deep_cache_interval > 1 else "")
-               + ", CFG triple-batch")
+    signal.signal(signal.SIGTERM, signal.SIG_DFL)
     if stroke_stats is not None and not args.no_stroke:
         value = stroke_stats["p50"]
         metric = (
@@ -167,18 +192,14 @@ def main():
             f"canvas ({cfg_tag}, p99={stroke_stats['p99']:.1f}ms, "
             f"{1000.0 / stroke_stats['mean']:.2f} stamps/s/chip; isolated "
             f"request/response p50={stats['p50']:.1f}ms)")
+        print(json.dumps({
+            "metric": metric,
+            "value": round(value, 2),
+            "unit": "ms",
+            "vs_baseline": round(target_ms / value, 3),
+        }))
     else:
-        value = stats["p50"]
-        metric = (
-            f"p50 ms per {args.resolution}x{args.resolution} stamp "
-            f"({cfg_tag}, p99={stats['p99']:.1f}ms, "
-            f"{stamps_per_sec:.2f} stamps/s/chip)")
-    print(json.dumps({
-        "metric": metric,
-        "value": round(value, 2),
-        "unit": "ms",
-        "vs_baseline": round(target_ms / value, 3),
-    }))
+        print(isolated_json())
 
 
 if __name__ == "__main__":
