@@ -14,6 +14,12 @@ Layouts (per head):
 Whether this wins depends on Mosaic's lowering of the TN-form dot (it
 may relayout an operand, erasing the win) - hence: measure, don't guess.
 
+MEASURED (v5e, chained in-jit timing, 2026-08-18): it does NOT win -
+0.95x / 1.02x / 0.96x at hd 40/80/160. Mosaic relayouts the TN-form
+contraction operand, erasing exactly the padding saving the layout was
+meant to buy. Kept as a documented negative result; the lane-padded
+kernel (ops/flash_attention.py) remains the production path.
+
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_attn_sublane.py
 """
 
@@ -124,17 +130,33 @@ def main():
         got = sublane_attention(q, k, v, num_heads=H)
         err = float(jnp.max(jnp.abs(ref.astype(jnp.float32)
                                     - got.astype(jnp.float32))))
+        # Chain N calls inside ONE jit (bench_attention.py methodology):
+        # per-dispatch tunnel overhead (~3 ms) otherwise drowns the
+        # kernel-time difference entirely.
+        N = 20
+
+        def chained(attn_fn):
+            def run(q0, kk, vv):
+                def body(i, qq):
+                    out = attn_fn(qq, kk, vv)
+                    return qq + 0.0 * out
+                return jax.lax.fori_loop(0, N, body, q0)
+            return jax.jit(run)
+
         rows = {}
-        for name, fn in (("lane-padded", lambda: flash_attention(q, k, v, num_heads=H)),
-                         ("sublane", lambda: sublane_attention(q, k, v, num_heads=H))):
-            sync(fn())
+        for name, attn in (
+                ("lane-padded",
+                 lambda a, b_, c: flash_attention(a, b_, c, num_heads=H)),
+                ("sublane",
+                 lambda a, b_, c: sublane_attention(a, b_, c, num_heads=H))):
+            f = chained(attn)
+            sync(f(q, k, v))
             best = 1e9
             for _ in range(4):
                 tic = time.perf_counter()
-                for _ in range(8):
-                    o = fn()
+                o = f(q, k, v)
                 sync(o)
-                best = min(best, (time.perf_counter() - tic) * 1e3 / 8)
+                best = min(best, (time.perf_counter() - tic) * 1e3 / N)
             rows[name] = best
         print(f"B{B} L{Lq} H{H} hd{hd}: lane={rows['lane-padded']:.3f} ms  "
               f"sublane={rows['sublane']:.3f} ms  "
