@@ -43,6 +43,10 @@ class UNetConfig:
     # Serving-only: fold each Transformer2D's GroupNorm into its 1x1
     # proj_in, fed by the preceding fused resnet's stats epilogue. No VJP.
     fused_norm: bool = False
+    # Serving-only: head-slotted self-attention (models/layers.py
+    # Attention.slotted): the q/k/v projections emit the fused kernel's
+    # (B, L, heads*128) layout directly. No VJP.
+    fused_attn: bool = False
 
     @property
     def time_embed_dim(self) -> int:
@@ -138,6 +142,17 @@ class PipelineConfig:
     # Folded Transformer2D GroupNorm (chained from the resnet stats
     # epilogue; the affine rides the proj_in matmul).
     fused_unet_norm: bool = True
+    # Head-slotted self-attention (negative result, kept measurable):
+    # the q/k/v projections write the fused kernel's (B, L, heads*128)
+    # layout directly, eliminating the split/pad/transpose passes - but
+    # measured 25.1 vs 23.8 ms/UNet-step on v5e: the kernel's K/V panel
+    # blocks become strided-lane reads of a 3072-wide array (256-byte
+    # row segments), and the zero-padded projections cost 3x their MXU
+    # time. The microbench win that motivated it (0.69 vs 1.16 ms,
+    # tools/bench_attn_variants.py) came from bf16-exp2 softmax + a
+    # CONTIGUOUS per-head layout; the plain path now gets the bf16-exp2
+    # half via ops/attention.py _EXP2_BF16.
+    fused_unet_attn: bool = False
 
 
 # CLIP image normalization constants (reference image_encoder.py:75-76).

@@ -176,12 +176,48 @@ class LayerNorm32(nn.Module):
         return out.astype(orig)
 
 
+def _slot_kernel(w, num_heads: int, head_dim: int):
+    """(Din, h*hd) projection kernel -> (Din, h*128) head-slotted kernel:
+    each head's hd output columns land at lane offset h*128, zeros after.
+    x @ slotted == the slotted layout of x @ w, exactly (the pad columns
+    are zero weights)."""
+    din = w.shape[0]
+    w3 = w.reshape(din, num_heads, head_dim)
+    w3 = jnp.pad(w3, ((0, 0), (0, 0), (0, 128 - head_dim)))
+    return w3.reshape(din, num_heads * 128)
+
+
+def _slot_rows(w, num_heads: int, head_dim: int):
+    """(h*hd, Dout) kernel -> (h*128, Dout) with zero pad ROWS, so a
+    head-slotted activation consumes it directly: slotted @ out == the
+    unslotted activation @ w (pad lanes hit zero rows)."""
+    dout = w.shape[1]
+    w3 = w.reshape(num_heads, head_dim, dout)
+    w3 = jnp.pad(w3, ((0, 0), (0, 128 - head_dim), (0, 0)))
+    return w3.reshape(num_heads * 128, dout)
+
+
+def _slot_bias(b, num_heads: int, head_dim: int):
+    b2 = b.reshape(num_heads, head_dim)
+    return jnp.pad(b2, ((0, 0), (0, 128 - head_dim))).reshape(-1)
+
+
 class Attention(nn.Module):
     """Multi-head attention with linear projections.
 
     Covers the UNet's self/cross attention (no qkv bias, out bias) and the
     patch encoder's attention (qkv bias), replacing the reference's TRT
     fMHA/fMHCA plugins with XLA/Pallas compute (ops/attention.py).
+
+    slotted=True (serving-only, self-attention on TPU): the q/k/v
+    projections run against head-SLOTTED weights (each head's head_dim
+    columns zero-padded to a 128-lane slot), so the projection matmul
+    itself emits the layout the fused attention kernel consumes and the
+    output projection consumes the kernel's result directly - the
+    (B, L, D) <-> (B*h, L, hd_pad) split/transpose/pad HBM passes of the
+    plain path (~30% of the attention wall time at the UNet's L0 shape)
+    do not exist. Identical param tree; no VJP on the kernel, so training
+    keeps slotted=False.
     """
 
     num_heads: int
@@ -189,11 +225,43 @@ class Attention(nn.Module):
     kv_dim: Optional[int] = None  # cross-attention key/value feature dim
     qkv_bias: bool = False
     out_bias: bool = True
+    slotted: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, context=None, batch=None):
         inner = self.num_heads * self.head_dim
+        if (self.slotted and context is None and x.ndim == 3
+                and jax.default_backend() == "tpu"):
+            from ..ops.flash_attention import (
+                flash_attention_slotted,
+                slotted_self_attention_fits,
+            )
+
+            if slotted_self_attention_fits(x.shape[1], x.shape[1],
+                                           self.head_dim):
+                h, hd = self.num_heads, self.head_dim
+                wq, bq = _ProjParams(x.shape[-1], inner, self.qkv_bias,
+                                     name="to_q")()
+                wk, bk = _ProjParams(x.shape[-1], inner, self.qkv_bias,
+                                     name="to_k")()
+                wv, bv = _ProjParams(x.shape[-1], inner, self.qkv_bias,
+                                     name="to_v")()
+                wqkv = jnp.concatenate(
+                    [_slot_kernel(w, h, hd) for w in (wq, wk, wv)],
+                    axis=-1).astype(self.dtype)
+                qkv = jnp.dot(x.astype(self.dtype), wqkv)
+                if self.qkv_bias:
+                    bqkv = jnp.concatenate(
+                        [_slot_bias(b, h, hd) for b in (bq, bk, bv)])
+                    qkv = qkv + bqkv.astype(qkv.dtype)
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+                out = flash_attention_slotted(q, k, v, h,
+                                              scale=hd**-0.5)
+                wo, bo = _ProjParams(inner, x.shape[-1], self.out_bias,
+                                     name="to_out")()
+                y = jnp.dot(out, _slot_rows(wo, h, hd).astype(self.dtype))
+                return y if bo is None else y + bo.astype(y.dtype)
         # 4D NHWC input (see Transformer2D _T2D_4D): project in 4D, flatten
         # only around the attention math itself. 2D (B*L, C) input (see
         # _T2D_2D) requires `batch` to split back for the softmax.
@@ -357,6 +425,7 @@ class BasicTransformerBlock(nn.Module):
     qkv_bias: bool = False
     ff_activation: str = "geglu"
     ff_fused: bool = False
+    attn_slotted: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -371,6 +440,7 @@ class BasicTransformerBlock(nn.Module):
             x = x.reshape(-1, x.shape[-1])
         h = LayerNorm32(name="norm1")(x)
         x = x + Attention(self.num_heads, self.head_dim, qkv_bias=self.qkv_bias,
+                          slotted=self.attn_slotted,
                           dtype=self.dtype, name="attn1")(h, batch=batch)
         h = LayerNorm32(name="norm2")(x)
         x = x + Attention(self.num_heads, self.head_dim, kv_dim=self.kv_dim,
@@ -636,6 +706,9 @@ class Transformer2D(nn.Module):
     kv_dim: Optional[int] = None
     num_groups: int = 32
     ff_fused: bool = False
+    # Serving-only: run self-attention in the head-slotted layout (see
+    # Attention.slotted). No VJP - training keeps the plain path.
+    attn_slotted: bool = False
     # Serving-only: fold the input GroupNorm into proj_in algebraically -
     # (x*a + c) @ W = (x*a) @ W + c @ W, where (a, c) come either from the
     # preceding fused ResnetBlock's stats epilogue (in_stats) or from one
@@ -676,7 +749,7 @@ class Transformer2D(nn.Module):
         for i in range(self.depth):
             hidden = BasicTransformerBlock(
                 self.num_heads, self.head_dim, kv_dim=self.kv_dim,
-                ff_fused=self.ff_fused,
+                ff_fused=self.ff_fused, attn_slotted=self.attn_slotted,
                 dtype=self.dtype, name=f"transformer_blocks_{i}")(hidden, context)
         hidden = hidden.reshape(b, h, w, c)
         hidden = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,

@@ -64,6 +64,7 @@ class UNet2DCondition(nn.Module):
                                           num_groups=cfg.norm_num_groups,
                                           ff_fused=cfg.fused_ff,
                                           gn_folded=cfg.fused_norm,
+                                          attn_slotted=cfg.fused_attn,
                                           dtype=self.dtype))
             if i < len(cfg.block_out_channels) - 1:
                 setattr(self, f"down_{i}_downsample",
@@ -78,6 +79,7 @@ class UNet2DCondition(nn.Module):
                                       num_groups=cfg.norm_num_groups,
                                       ff_fused=cfg.fused_ff,
                                       gn_folded=cfg.fused_norm,
+                                      attn_slotted=cfg.fused_attn,
                                       dtype=self.dtype)
         self.mid_resnet_1 = ResnetBlock(ch, cfg.norm_num_groups,
                                         fused=cfg.fused_resnet,
@@ -97,6 +99,7 @@ class UNet2DCondition(nn.Module):
                                           num_groups=cfg.norm_num_groups,
                                           ff_fused=cfg.fused_ff,
                                           gn_folded=cfg.fused_norm,
+                                          attn_slotted=cfg.fused_attn,
                                           dtype=self.dtype))
             if i < len(rev_channels) - 1:
                 setattr(self, f"up_{i}_upsample", Upsample(ch, dtype=self.dtype))

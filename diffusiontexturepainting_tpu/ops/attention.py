@@ -21,6 +21,12 @@ import jax.numpy as jnp
 # self-attention with enough tokens to fill MXU tiles.
 _FLASH_MIN_Q_LEN = 1024
 
+# Evaluate the softmax exp2 on bf16 logits inside the fused kernel when
+# the activations are bf16 (measured 0.69 vs 1.16 ms per L0
+# self-attention on v5e, tools/bench_attn_variants.py; numerics within
+# bf16 rounding because the probabilities feed a bf16 matmul either way).
+_EXP2_BF16 = True
+
 
 def _split_heads(x, num_heads):
     b, l, d = x.shape
@@ -87,7 +93,9 @@ def attention(q, k, v, num_heads: int, scale: float | None = None,
                                           flash_attention_streaming)
 
             if resident_fits:
-                return flash_attention(q, k, v, num_heads, scale=scale)
+                return flash_attention(
+                    q, k, v, num_heads, scale=scale,
+                    exp2_bf16=_EXP2_BF16 and q.dtype == jnp.bfloat16)
             return flash_attention_streaming(q, k, v, num_heads, scale=scale)
         except Exception:  # pragma: no cover - fallback if kernel unavailable
             pass

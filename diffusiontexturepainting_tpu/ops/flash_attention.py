@@ -172,6 +172,85 @@ def flash_attention(q, k, v, num_heads: int, scale: float | None = None,
 
 
 # ---------------------------------------------------------------------------
+# Slotted-layout fused attention.
+#
+# The entry above spends ~30% of its wall time OUTSIDE the kernel: the
+# (B, L, h*hd) -> (B*h, L, hd_pad) head split + transpose + lane pad are
+# three full HBM passes per operand (measured 0.30 ms of the ~1.0 ms L0
+# call; tools/bench_attn_variants.py). This entry instead consumes
+# tensors in a HEAD-SLOTTED layout (B, L, h*128): each head owns a
+# 128-lane slot with the real head_dim in the first hd lanes and zeros
+# after. The caller produces that layout FOR FREE by zero-padding the
+# projection weights per head (models/layers.py Attention._slot_kernel:
+# concat @ W_slotted is exact - pad lanes multiply zero weight columns),
+# and the output projection consumes it directly with zero pad ROWS, so
+# no relayout pass exists anywhere. The head becomes a pure grid
+# dimension with lane-aligned block slices. The softmax runs exp2 on
+# bf16 logits by default (measured 0.69 vs 1.16 ms at the L0 shape; see
+# _attn_kernel's exp2_bf16 note for why precision is unchanged to first
+# order).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "q_block",
+                                              "exp2_bf16"))
+def flash_attention_slotted(q, k, v, num_heads: int, scale: float,
+                            q_block: int = 512, exp2_bf16: bool = True):
+    """Fused attention over head-slotted tensors.
+
+    q: (B, Lq, num_heads*128), k/v: (B, Lk, num_heads*128) - each head's
+    features in lanes [h*128, h*128+hd) with zero pad lanes (the caller
+    guarantees the pad lanes of k and v are zero; zero k-lanes add 0 to
+    every score and zero v-lanes produce zero output pad lanes).
+    Returns (B, Lq, num_heads*128) in the same layout. `scale` must be
+    hd**-0.5 for the REAL head dim (the kernel cannot infer hd).
+    """
+    B, Lq, Dp = q.shape
+    Lk = k.shape[1]
+    assert Dp == num_heads * 128, (Dp, num_heads)
+    bq = min(q_block, Lq)
+    assert Lq % bq == 0 and Lk % 128 == 0, (Lq, Lk, bq)
+    kernel = functools.partial(_attn_kernel, scale=scale,
+                               exp2_bf16=exp2_bf16)
+    return pl.pallas_call(
+        kernel,
+        interpret=jax.default_backend() != "tpu",
+        out_shape=jax.ShapeDtypeStruct((B, Lq, Dp), q.dtype),
+        grid=(B, num_heads, Lq // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, 128), lambda b, h, i: (b, i, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, 128), lambda b, h, i: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, 128), lambda b, h, i: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, 128), lambda b, h, i: (b, i, h),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * num_heads * Lq * Lk * 128,
+            bytes_accessed=B * num_heads * (2 * Lq + 2 * Lk) * 128 * 2,
+            transcendentals=B * num_heads * Lq * Lk,
+        ),
+    )(q, k, v)
+
+
+def slotted_self_attention_fits(Lq: int, Lk: int, head_dim: int,
+                                q_block: int = 512) -> bool:
+    """Whether the slotted kernel's resident K/V panel + score block fit
+    VMEM and the shapes satisfy its blocking (one head-slot K/V panel of
+    (Lk, 128) bf16 x2 plus a (q_block, Lk) f32 score block)."""
+    if head_dim > 128 or Lq % 128 or Lk % 128:
+        return False
+    bq = min(q_block, Lq)
+    if Lq % bq:
+        return False
+    kv_bytes = 2 * Lk * 128 * 2
+    score_bytes = bq * Lk * 4
+    return kv_bytes + score_bytes <= 11 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
 # KV-streaming flash attention (online softmax).
 #
 # The whole-KV-resident kernel above needs lk * hd_pad * 2 * 2 bytes of

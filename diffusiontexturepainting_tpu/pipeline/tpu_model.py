@@ -70,6 +70,8 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
             ucfg = dataclasses.replace(ucfg, fused_ff=True)
         if self.config.fused_unet_norm:
             ucfg = dataclasses.replace(ucfg, fused_norm=True)
+        if self.config.fused_unet_attn:
+            ucfg = dataclasses.replace(ucfg, fused_attn=True)
         self.unet = UNet2DCondition(ucfg, dtype=dtype)
         self.vae_encoder = VAEEncoder(vcfg, dtype=dtype)
         self.vae_decoder = VAEDecoder(vcfg, dtype=dtype)
@@ -108,7 +110,8 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
         # novel operating point serving correctly when its pallas plans
         # overflow scoped VMEM embedded in the full stamp program.
         safe_ucfg = dataclasses.replace(
-            ucfg, fused_resnet=False, fused_ff=False, fused_norm=False)
+            ucfg, fused_resnet=False, fused_ff=False, fused_norm=False,
+            fused_attn=False)
         safe_unet = UNet2DCondition(safe_ucfg, dtype=dtype)
         safe_models = StampModels(
             unet_apply=lambda p, s, t, c: safe_unet.apply(

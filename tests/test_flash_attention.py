@@ -131,3 +131,62 @@ def test_long_sequence_dispatches_streaming(monkeypatch):
     out = attnmod.attention(q, q, q, 8)
     assert called.get("stream")
     assert out.shape == q.shape
+
+
+def test_slotted_kernel_matches_xla():
+    """flash_attention_slotted over head-slotted inputs == xla_attention
+    over the plain layout (slot pad lanes zero; bf16-rounding tolerance
+    since the slotted softmax runs exp2 on bf16 logits)."""
+    from diffusiontexturepainting_tpu.ops.flash_attention import (
+        flash_attention_slotted,
+        slotted_self_attention_fits,
+    )
+
+    b, l, heads, hd = 2, 256, 4, 40
+    assert slotted_self_attention_fits(l, l, hd)
+    rng = np.random.default_rng(5)
+    d = heads * hd
+    q = jnp.asarray(rng.standard_normal((b, l, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, l, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, l, d)), jnp.bfloat16)
+    ref = xla_attention(q, k, v, heads)
+
+    def slot(x):
+        x4 = x.reshape(b, l, heads, hd)
+        return jnp.pad(x4, ((0, 0), (0, 0), (0, 0), (0, 128 - hd))
+                       ).reshape(b, l, heads * 128)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention_slotted(slot(q), slot(k), slot(v), heads,
+                                      scale=hd**-0.5)
+    out4 = np.asarray(out, np.float32).reshape(b, l, heads, 128)
+    np.testing.assert_allclose(out4[..., :hd].reshape(b, l, d),
+                               np.asarray(ref, np.float32),
+                               atol=3e-2, rtol=3e-2)
+    assert np.all(out4[..., hd:] == 0)
+
+
+def test_slotted_attention_module_matches_plain():
+    """The Attention module's slotted branch (weight slotting + kernel +
+    slotted out-proj) == the plain branch, same params."""
+    from diffusiontexturepainting_tpu.models import layers as L
+
+    b, l, heads, hd = 1, 128, 4, 32
+    d = heads * hd
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+    plain = L.Attention(heads, hd, dtype=jnp.float32)
+    slotted = L.Attention(heads, hd, slotted=True, dtype=jnp.float32)
+    params = plain.init(jax.random.PRNGKey(0), x)["params"]
+    ref = plain.apply({"params": params}, x)
+    # force the slotted branch on CPU (interpret-mode kernel)
+    real_backend = jax.default_backend
+    try:
+        jax.default_backend = lambda: "tpu"
+        import jax.experimental.pallas as _pl  # noqa: F401
+        with pltpu.force_tpu_interpret_mode():
+            out = slotted.apply({"params": params}, x)
+    finally:
+        jax.default_backend = real_backend
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)

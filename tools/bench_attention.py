@@ -37,7 +37,11 @@ def chain_time(fn, q, k, v):
     def chained(q0, kk, vv):
         def body(i, qq):
             out = fn(qq, kk, vv)
-            return qq + 0.0 * out
+            # data-dependent carry (ADVICE r2: a 0.0*out carry
+            # could be constant-folded, silently timing an empty
+            # loop); 1e-8*out keeps the chain live and perturbs
+            # q negligibly
+            return qq + 1e-8 * out
         return jax.lax.fori_loop(0, N, body, q0)
     f = jax.jit(chained)
     out = f(q, k, v)

@@ -139,7 +139,9 @@ def main():
             def run(q0, kk, vv):
                 def body(i, qq):
                     out = attn_fn(qq, kk, vv)
-                    return qq + 0.0 * out
+                    # data-dependent carry (ADVICE r2):
+                    # 0.0*out could be constant-folded
+                    return qq + 1e-8 * out
                 return jax.lax.fori_loop(0, N, body, q0)
             return jax.jit(run)
 

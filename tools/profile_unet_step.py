@@ -64,6 +64,7 @@ def main():
     ap.add_argument("--fused-resnet", action="store_true")
     ap.add_argument("--fused-ff", action="store_true")
     ap.add_argument("--fused-norm", action="store_true")
+    ap.add_argument("--fused-attn", action="store_true")
     ap.add_argument("--trace-dir", default="/tmp/unet_trace")
     args = ap.parse_args()
 
@@ -86,7 +87,8 @@ def main():
         model = UNet2DCondition(
             UNetConfig(fused_resnet=args.fused_resnet,
                        fused_ff=args.fused_ff,
-                       fused_norm=args.fused_norm), dtype=jnp.bfloat16)
+                       fused_norm=args.fused_norm,
+                       fused_attn=args.fused_attn), dtype=jnp.bfloat16)
         sample = jax.random.normal(key, (3, lat, lat, 9), jnp.float32)
         ctx = jax.random.normal(key, (3, 14, 768), jnp.float32)
         t = jnp.full((3,), 500.0, jnp.float32)
