@@ -31,16 +31,24 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .gn_conv_stream import _silu_same_dtype
+
 
 
 def _lax_conv3x3(x, w, b):
+    # Output in the activation dtype: the MXU accumulates f32 internally
+    # either way, but asking XLA for an f32 RESULT makes it materialize
+    # a transposed f32 tensor + a separate convert pass (profiled
+    # ~2.2 ms/VAE-decode of add_convert fusions at the 512px levels).
+    # The bias add runs in f32 fused into the conv epilogue.
     out = lax.conv_general_dilated(
         x, w, (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=x.dtype)
     if b is not None:
-        out = out + b.astype(jnp.float32)
-    return out.astype(x.dtype)
+        out = (out.astype(jnp.float32)
+               + b.astype(jnp.float32)).astype(x.dtype)
+    return out
 
 
 def _lax_conv3x3_nat(x, w, b):
@@ -294,6 +302,14 @@ def _conv3x3_pallas(x, w, b, plan, interpret=False, in_pad=None):
 # backward are plain XLA convs. Serving (no differentiation) leaves it
 # None.
 _FORCE_IMPL = None
+
+# Route too-big-for-resident upsample-convs to the streamed subpixel
+# kernel (gn_conv_stream.upconv_stream). Isolated per-shape wins
+# (tools/bench_upconv.py: 2.4 vs 4.0 ms at 128^2x512, 2.6 vs 5.9 at
+# 256^2x256) did NOT survive in context - the full 512px VAE decode
+# regressed 20.3 -> 43 ms with this on (round-3 bisect) - so it stays
+# opt-in until the in-context loss is understood.
+_UPCONV_STREAM_DISPATCH = False
 
 
 def set_conv_impl(force):
@@ -847,6 +863,16 @@ def _upconv_dispatch(x, w, b, force):
         return _upconv_pallas(x, w, b, plan, interpret=(backend != "tpu"))
     if plan is not None and backend == "tpu":
         return _upconv_pallas(x, w, b, plan)
+    if backend == "tpu" and _UPCONV_STREAM_DISPATCH:
+        # images too large for the VMEM-resident kernel (the decoder's
+        # 128^2x512 / 256^2x256 upsamples): the streamed subpixel kernel
+        # (windowed DMA, in-VMEM plane interleave) replaces XLA's
+        # repeat+conv over the 4x materialized upsample.
+        from .gn_conv_stream import upconv_stream, upconv_stream_plan
+
+        if upconv_stream_plan(x.shape, w.shape, x.dtype.itemsize):
+            out, _ = upconv_stream(x, w, b, want_stats=False)
+            return out
     return _upconv_reference(x, w, b)
 
 
@@ -1007,23 +1033,27 @@ def _gn_res_kernel(x_ref, a_ref, c_ref, w_ref, b_ref, *rest,
 
     # Prologue: normalize the resident padded image IN PLACE once per
     # batch (the x block's index map ignores n/h, so it stays resident
-    # across all cout/row tiles of this batch image). The SAME-padding
-    # border must end up zero: silu(0*a + c) != 0, so the interior mask
-    # multiplies it away.
+    # across all cout/row tiles of this batch image). Runs in the
+    # ACTIVATION dtype (bf16: packed 2x VPU rate, like the module path's
+    # GroupNorm32 apply); the SAME-padding border must end up zero
+    # (silu(0*a + c) != 0), handled by 4 cheap zero STORES over the
+    # border rows/cols instead of the old full iota interior mask
+    # (which cost ~15 VPU ops/element in f32).
     @pl.when((ni == 0) & (hi == 0) & apply_gn)
     def _normalize():
-        a = a_ref[0, 0, :].astype(jnp.float32)
-        c0 = c_ref[0, 0, :].astype(jnp.float32)
+        a = a_ref[0, 0, :].astype(x_ref.dtype)
+        c0 = c_ref[0, 0, :].astype(x_ref.dtype)
         for h0 in range(0, H + 2, pro_rows):
             rows = min(pro_rows, H + 2 - h0)
-            chunk = x_ref[0, h0:h0 + rows, :, :].astype(jnp.float32)
+            chunk = x_ref[0, h0:h0 + rows, :, :]
             chunk = chunk * a[None, None, :] + c0[None, None, :]
-            chunk = chunk * jax.nn.sigmoid(chunk)
-            gr = h0 + jax.lax.broadcasted_iota(jnp.int32, (rows, W + 2), 0)
-            gc = jax.lax.broadcasted_iota(jnp.int32, (rows, W + 2), 1)
-            keep = (gr >= 1) & (gr <= H) & (gc >= 1) & (gc <= W)
-            chunk = chunk * keep.astype(jnp.float32)[..., None]
-            x_ref[0, h0:h0 + rows, :, :] = chunk.astype(x_ref.dtype)
+            x_ref[0, h0:h0 + rows, :, :] = _silu_same_dtype(chunk)
+        zrow = jnp.zeros((1, W + 2, Cin), x_ref.dtype)
+        x_ref[0, 0:1] = zrow
+        x_ref[0, H + 1:H + 2] = zrow
+        zcol = jnp.zeros((H + 2, 1, Cin), x_ref.dtype)
+        x_ref[0, :, 0:1] = zcol
+        x_ref[0, :, W + 1:W + 2] = zcol
 
     row0 = pl.multiple_of(hi * H_T, H_T)
     bias = b_ref[0].astype(jnp.float32)
@@ -1088,7 +1118,7 @@ def gn_conv_resident_plan(x_shape, w_shape, has_res: bool = True):
             room = limit - img - wb - tiles - stats
             if room <= 0:
                 continue
-            per_row = (W + 2) * Cin * 10  # f32 chunk + silu temp + store
+            per_row = (W + 2) * Cin * 6  # bf16 chunk + silu temp + store
             pro_rows = min(8, room // per_row)
             if pro_rows >= 1:
                 return ht, nt, int(pro_rows)

@@ -55,6 +55,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 _STATS_ROWS = 8  # f32 tile sublane minimum; rows 0/1 = sum/sumsq, rest zero
 
+_LOG2E = 1.4426950408889634
+
+
+def _silu_same_dtype(x):
+    """x * sigmoid(x) computed entirely in x.dtype with explicit dtype
+    constants: jax.nn.sigmoid on a bf16 vector makes Mosaic broadcast an
+    f32 scalar into a bf16 vector, which fails MLIR verification. exp2
+    with a folded log2(e) constant also runs at the packed-bf16 VPU rate
+    (one transcendental, no separate exp lowering)."""
+    e = jnp.exp2(x * jnp.asarray(-_LOG2E, x.dtype))
+    return x / (jnp.asarray(1, x.dtype) + e)
+
 
 def group_matrix(channels: int, num_groups: int) -> np.ndarray:
     """(C, G) one-hot channel->group matrix (f32)."""
@@ -116,13 +128,15 @@ def shift_stats_for_temb(stats, temb, n_spatial: int):
 # ---------------------------------------------------------------------------
 
 
-def _prologue_rows(Wp: int, Cin: int, budget: int = 2 * 1024 * 1024) -> int:
-    """Row-chunk size for the f32 prologue temporaries. Rows are the
-    MAJOR dim of the (rows, Wp, Cin) chunk - shrinking it costs no
-    vector-lane efficiency, it just bounds the f32 scratch at wide
-    shapes (W 256/512 at Cin 256-512 made the fixed 8-row chunk alone
-    exceed the VMEM budget, forcing the whole kernel off to XLA)."""
-    per_row = Wp * Cin * (4 + 4 + 2)  # f32 chunk + silu temp + bf16 store
+def _prologue_rows(Wp: int, Cin: int, itemsize: int = 2,
+                   budget: int = 2 * 1024 * 1024) -> int:
+    """Row-chunk size for the prologue temporaries. Rows are the MAJOR
+    dim of the (rows, Wp, Cin) chunk - shrinking it costs no vector-lane
+    efficiency, it just bounds the scratch at wide shapes (W 256/512 at
+    Cin 256-512 made the fixed 8-row chunk alone exceed the VMEM budget,
+    forcing the whole kernel off to XLA). The prologue runs in the
+    activation dtype (bf16 on TPU: ~3 temporaries of 2 bytes)."""
+    per_row = Wp * Cin * 3 * itemsize  # affine chunk + silu temp + store
     return max(1, min(8, budget // max(per_row, 1)))
 
 
@@ -144,7 +158,6 @@ def _kernel(x_hbm, a_ref, c_ref, w_ref, b_ref, *rest,
     bb = pl.program_id(0)
     hi = pl.program_id(2)
     num_h = pl.num_programs(2)
-    row0 = pl.multiple_of(hi * H_T, H_T)
 
     # Double-buffered window DMA: prefetch the next row window while this
     # grid step computes (guide "Patterns: Double Buffering").
@@ -220,23 +233,37 @@ def _kernel(x_hbm, a_ref, c_ref, w_ref, b_ref, *rest,
         def _zbot():
             xwin[slot, H_T + 1:H_T + 2] = zrow
 
-    # Prologue in f32 row-chunks: affine -> SiLU -> zero the SAME border.
+    # Prologue: affine -> SiLU in the ACTIVATION dtype (bf16 on TPU:
+    # packed 2x VPU rate, and no f32 temporaries). Round-2 profiling
+    # showed the old f32 prologue + full iota interior masks at ~15 VPU
+    # ops/element - about half the kernel's time at the VAE's wide
+    # shapes; the border handling is now 4 cheap zero STORES after the
+    # fact (only the rows/cols the 9 taps actually read: padded cols 0
+    # and W+1, and the global top/bottom rows on the first/last tiles).
+    # Numerics: the affine applies in bf16, exactly like the module
+    # path's GroupNorm32 (stats stay f32 upstream; only the per-element
+    # scale/shift rounds) - _reference below matches.
     if apply_gn:
-        a = a_ref[0, 0, :].astype(jnp.float32)
-        c0 = c_ref[0, 0, :].astype(jnp.float32)
-    chunk_rows = _prologue_rows(Wp, Cin)
-    for h0 in range(0, H_T + 2, chunk_rows):
-        rows = min(chunk_rows, H_T + 2 - h0)
-        chunk = xwin[slot, h0:h0 + rows, :, :].astype(jnp.float32)
-        if apply_gn:
+        a = a_ref[0, 0, :].astype(xwin.dtype)
+        c0 = c_ref[0, 0, :].astype(xwin.dtype)
+        chunk_rows = _prologue_rows(Wp, Cin, xwin.dtype.itemsize)
+        for h0 in range(0, H_T + 2, chunk_rows):
+            rows = min(chunk_rows, H_T + 2 - h0)
+            chunk = xwin[slot, h0:h0 + rows, :, :]
             chunk = chunk * a[None, None, :] + c0[None, None, :]
-            chunk = chunk * jax.nn.sigmoid(chunk)
-        # interior mask in padded coords: rows 1..H, cols 1..W
-        gr = row0 + h0 + jax.lax.broadcasted_iota(jnp.int32, (rows, Wp), 0)
-        gc = jax.lax.broadcasted_iota(jnp.int32, (rows, Wp), 1)
-        keep = (gr >= 1) & (gr <= H) & (gc >= 1) & (gc <= W)
-        chunk = chunk * keep.astype(jnp.float32)[..., None]
-        xwin[slot, h0:h0 + rows, :, :] = chunk.astype(xwin.dtype)
+            xwin[slot, h0:h0 + rows, :, :] = _silu_same_dtype(chunk)
+        zcol = jnp.zeros((H_T + 2, 1, Cin), xwin.dtype)
+        xwin[slot, :, 0:1, :] = zcol
+        xwin[slot, :, W + 1:W + 2, :] = zcol
+        zrow = jnp.zeros((1, Wp, Cin), xwin.dtype)
+
+        @pl.when(hi == 0)
+        def _zero_top():
+            xwin[slot, 0:1] = zrow
+
+        @pl.when(hi + 1 >= num_h)
+        def _zero_bot():
+            xwin[slot, H_T + 1:H_T + 2] = zrow
 
     acc = None
     for k in range(9):
@@ -301,7 +328,7 @@ def stream_fused_plan(x_shape, w_shape, itemsize: int = 2):
             continue
         win = (ht + 2) * Wp * Cin * itemsize   # DMA window / in-place scratch
         # f32 chunk temporaries: the row-chunk adapts to wide shapes
-        tmp = _prologue_rows(Wp, Cin) * Wp * Cin * (4 + 4 + itemsize)
+        tmp = _prologue_rows(Wp, Cin, itemsize) * Wp * Cin * 3 * itemsize
         for nt in nts:
             accb = ht * W * nt * 4                  # f32 tap accumulator
             # out/res tiles budgeted at the width-padded Wp so the same
@@ -398,15 +425,18 @@ def _stream_fused_pallas(x, a, c, w, b, residual, want_stats, apply_gn,
 
 def _reference(x, a, c, w, b, residual, want_stats, apply_gn, in_w=0,
                out_wpad=False, res_wpad=False):
-    """XLA path, numerically matching the kernel (f32 prologue, bf16
-    taps, f32 accumulate, stats on the pre-cast f32 output)."""
+    """XLA path, numerically matching the kernel (prologue applied in
+    the ACTIVATION dtype like the module path's GroupNorm32 - stats stay
+    f32 upstream - then bf16 taps, f32 accumulate, stats on the pre-cast
+    f32 output)."""
     if in_w:
         x = x[:, :, 1:in_w + 1, :]
     if res_wpad and residual is not None:
         residual = residual[:, :, 1:x.shape[2] + 1, :]
     if apply_gn:
-        v = x.astype(jnp.float32) * a[:, None, None, :] + c[:, None, None, :]
-        v = (v * jax.nn.sigmoid(v)).astype(x.dtype)
+        v = (x * a[:, None, None, :].astype(x.dtype)
+             + c[:, None, None, :].astype(x.dtype))
+        v = v * jax.nn.sigmoid(v)
     else:
         v = x
     y = lax.conv_general_dilated(
@@ -639,17 +669,24 @@ def upconv_stream_plan(x_shape, w_shape, itemsize: int = 2):
     wpad = (-(W + 2)) % 8
     Wp = W + 2 + wpad
     Wp_out = 2 * W + 2 + (-(2 * W + 2)) % 8
-    for ht in (32, 16, 8):
+    for ht in (32, 16, 8, 4):
         if H % ht:
             continue
         win = 2 * (ht + 2) * Wp * Cin * itemsize  # double-buffered window
         for nt in nts:
             wb = 16 * Cin * nt * itemsize * 2
             accb = ht * W * nt * 4
-            # interleaved (2*ht, Wp_out, nt) out tile, double-buffered,
-            # plus the in-VMEM interleave temporaries (~one more tile)
-            outb = 3 * 2 * ht * Wp_out * nt * itemsize
-            if win + wb + accb + outb <= 13 * 1024 * 1024:
+            # Mosaic's stack for the interleaved (2*ht, Wp_out, nt) out
+            # tile: the tile itself (double-buffered) plus the in-VMEM
+            # interleave temporaries (col/row copies, concat-zero planes,
+            # parity accumulators). Calibrated against 8 hardware
+            # compiles at the decoder shapes (v5e, 16 MB scoped limit):
+            # real usage tracks ~8.4 tiles of (2*ht, Wp_out, nt); 9 with
+            # the 15 MB budget separates every observed pass/fail (e.g.
+            # (1,128,128,512) ht=8 allocates 16.6 MB -> reject, ht=4
+            # compiles and runs 1.9 vs 3.4 ms XLA).
+            outb = 9 * 2 * ht * Wp_out * nt * itemsize
+            if win + wb + accb + outb <= 15 * 1024 * 1024:
                 return ht, nt
     return None
 
