@@ -98,10 +98,16 @@ def create_server(model=None, resolution: int = 256, debug_dir: str | None = Non
             resolution, mesh, checkpoint_dir=checkpoint_dir,
             scheduler=scheduler, window_ms=batch_window_ms)
         if session_canvas:
-            # Warm ONE chip-pinned session (the persistent compile cache
-            # makes the other chips' first strokes cheap).
-            warm = service.new_session()
-            _warm_session(warm, session_canvas, warmup_points)
+            # Warm one session per chip: sessions are round-robin-pinned
+            # (acquire_session_device), so N sequential warm sessions hit
+            # every device. The first compile is the expensive one; the
+            # rest re-specialize the cached program for their device, so
+            # no painter's first stroke pays a compile.
+            n_dev = service.mesh.devices.size
+            for i in range(n_dev):
+                logger.info("session warmup %d/%d", i + 1, n_dev)
+                _warm_session(service.new_session(), session_canvas,
+                              warmup_points)
         model_info = (f"tpu-sd15-inpaint mesh[{mesh}]"
                       + ("" if checkpoint_dir else " (random weights)"))
         return tornado.web.Application(
