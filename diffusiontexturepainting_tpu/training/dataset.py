@@ -172,6 +172,10 @@ class AugmentedTextures:
             "masked_image": masked_image.astype(np.float32),
             "cond_patches": cond.astype(np.float32),
             "drop_cond": drop_cond,
+            # raw [0,1] conditioning crop, logging-only (the reference's
+            # validation grid shows the conditioning image panel,
+            # train_texture_inpaint_lora.py:66-86); batches() drops it.
+            "cond_image": cond_img.astype(np.float32),
         }
 
     def batches(self, batch_size: int, steps: Optional[int] = None,
@@ -202,5 +206,5 @@ class AugmentedTextures:
                 for j, i in enumerate(idxs)
             ]
             yield {k_: np.stack([smp[k_] for smp in samples])
-                   for k_ in samples[0]}
+                   for k_ in samples[0] if k_ != "cond_image"}
             b += 1

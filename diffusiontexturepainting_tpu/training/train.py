@@ -56,7 +56,12 @@ def build_argparser():
     p.add_argument("--resume_from_checkpoint", default=None,
                    help="'latest' or an explicit step number")
     p.add_argument("--validation_steps", type=int, default=0,
-                   help="run a validation grid every N steps (0 = off)")
+                   help="run a validation grid every N steps (0 = use "
+                        "--validation_epochs)")
+    p.add_argument("--validation_epochs", type=int, default=1,
+                   help="run a validation grid every N epochs (reference "
+                        "default: every epoch, train...py:749-782); "
+                        "0 disables epoch-based validation")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mesh_data", type=int, default=None)
     p.add_argument("--mesh_model", type=int, default=1)
@@ -231,6 +236,13 @@ def main(argv=None):
     # (reference train...py:643-646 skips dataloader steps; here the data
     # stream is a pure function of (seed, batch index) so this is O(1)).
     it = dataset.batches(args.train_batch_size, start=start_step)
+    # validation cadence: explicit --validation_steps wins; otherwise
+    # every --validation_epochs epochs (the reference validates per
+    # epoch, train...py:749-782).
+    steps_per_epoch = max(1, len(dataset) // args.train_batch_size)
+    val_every = args.validation_steps or (
+        args.validation_epochs * steps_per_epoch
+        if args.validation_epochs > 0 else 0)
     t_last = time.time()
     with mesh:
         for step in range(start_step, args.max_train_steps):
@@ -265,7 +277,7 @@ def main(argv=None):
                 mngr.wait_until_finished()
                 logger.info("saved checkpoint at step %d", step + 1)
 
-            if args.validation_steps and (step + 1) % args.validation_steps == 0:
+            if val_every and (step + 1) % val_every == 0:
                 _validation_grid(args, writer, step + 1, unet, vae_enc, vae_dec,
                                  patch_enc, all_params, frozen, state, dataset)
 
@@ -293,7 +305,8 @@ def main(argv=None):
 def _validation_grid(args, writer, step, unet, vae_enc, vae_dec, patch_enc,
                      all_params, frozen, state, dataset):
     """Inpaint a validation sample with the current weights and log a
-    [masked | mask | result] grid (reference train...py:749-782)."""
+    [masked source | mask | conditioning image | result] grid matching
+    the reference's panel set (train...py:66-86, 749-782)."""
     try:
         from ..models.lora import merge_lora
         from ..pipeline.inpaint import StampModels, make_stamp_fn
@@ -326,9 +339,12 @@ def _validation_grid(args, writer, step, unet, vae_enc, vae_dec, patch_enc,
                         jnp.float32(2.0), jnp.float32(0.0), jnp.int32(0),
                         jnp.int32(150))
         if writer:
+            cond_u8 = (np.clip(sample["cond_image"], 0, 1)
+                       * 255).astype(np.uint8)
             grid = np.concatenate(
                 [canvas_u8[0, ..., :3],
                  np.repeat((255 * (1 - sample["mask"])).astype(np.uint8), 3, -1),
+                 cond_u8,
                  np.asarray(comp)], axis=1)
             writer.add_image("val/grid", grid, step, dataformats="HWC")
     except Exception as e:  # pragma: no cover - validation is best-effort
