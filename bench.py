@@ -28,6 +28,74 @@ import sys
 import time
 
 
+def _ws_stroke(model, args, canvas_big, step_px, settings):
+    """Run the stroke workload through a loopback websocket server
+    wrapping `model`, timing per-stamp wall including ack frames.
+    Returns percentile stats over --stroke-rounds strokes."""
+    import asyncio
+    import socket
+    import threading
+    import numpy as np
+
+    import tornado.ioloop
+
+    from diffusiontexturepainting_tpu.client.websocket_model import (
+        WebsocketConditionalInpainter,
+    )
+    from diffusiontexturepainting_tpu.serving.run import create_server
+    from diffusiontexturepainting_tpu.utils.profiling import percentile_stats
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    app = create_server(model=model, resolution=args.resolution,
+                        warmup=False)
+    loop_holder = {}
+    ready = threading.Event()
+
+    def serve():
+        asyncio.set_event_loop(asyncio.new_event_loop())
+        app.listen(port, address="127.0.0.1")
+        loop_holder["loop"] = tornado.ioloop.IOLoop.current()
+        ready.set()
+        loop_holder["loop"].start()
+
+    th = threading.Thread(target=serve, daemon=True)
+    th.start()
+    ready.wait(10)
+
+    try:
+        client = WebsocketConditionalInpainter(
+            f"ws://127.0.0.1:{port}/websocket/",
+            resolution=args.resolution)
+        rng = np.random.default_rng(0)
+        client.set_brush(rng.random(
+            (args.resolution, args.resolution, 3)).astype(np.float32))
+
+        def one_stroke():
+            client.begin_session(canvas_big)
+            tic = time.perf_counter()
+            for i in range(args.stroke):
+                x0 = (i * step_px) % (args.resolution + 1)
+                y0 = ((i * step_px) // (args.resolution + 1)
+                      * (args.resolution // 2))
+                client.stamp_at(x0, y0, return_pixels=False, wait=False,
+                                **settings)
+            client.fetch_canvas()
+            dt_ms = (time.perf_counter() - tic) * 1000.0
+            client.end_session()
+            return dt_ms / args.stroke
+
+        one_stroke()  # warmup (server program already compiled)
+        return percentile_stats([one_stroke()
+                                 for _ in range(args.stroke_rounds)])
+    finally:
+        if "loop" in loop_holder:
+            loop_holder["loop"].add_callback(loop_holder["loop"].stop)
+        th.join(5)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--resolution", type=int, default=512)
@@ -43,6 +111,9 @@ def main():
                     help="independent strokes to sample")
     ap.add_argument("--no-stroke", action="store_true",
                     help="headline the isolated-request path instead")
+    ap.add_argument("--ws", action="store_true",
+                    help="also time the stroke through a real local "
+                         "websocket server (ack traffic included)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (CI smoke; the axon PJRT "
                          "plugin ignores JAX_PLATFORMS, so this must go "
@@ -183,6 +254,21 @@ def main():
             except Exception:
                 pass
 
+    # --- websocket stroke: same stroke through a real local server -------
+    # The in-process number above times the session API; this one adds the
+    # live wire: 22-byte session requests, fire-and-forget stamps, ack
+    # frames, and the synchronizing canvas fetch, through a loopback
+    # tornado server wrapping the SAME model (no second compile).
+    ws_stroke_stats = None
+    if args.ws and stroke_stats is not None:
+        try:
+            ws_stroke_stats = _ws_stroke(model, args, canvas_big, step_px,
+                                         settings)
+            print(f"ws-stroke per-stamp (live websocket incl. acks): "
+                  f"{ws_stroke_stats}", file=sys.stderr)
+        except Exception as exc:  # pragma: no cover - environment-specific
+            print(f"ws-stroke path failed ({exc!r})", file=sys.stderr)
+
     signal.signal(signal.SIGTERM, signal.SIG_DFL)
     if stroke_stats is not None and not args.no_stroke:
         value = stroke_stats["p50"]
@@ -191,7 +277,9 @@ def main():
             f"{args.stroke}-stamp stroke stream on a device-resident "
             f"canvas ({cfg_tag}, p99={stroke_stats['p99']:.1f}ms, "
             f"{1000.0 / stroke_stats['mean']:.2f} stamps/s/chip; isolated "
-            f"request/response p50={stats['p50']:.1f}ms)")
+            f"request/response p50={stats['p50']:.1f}ms"
+            + (f"; live-websocket stroke p50={ws_stroke_stats['p50']:.1f}ms"
+               if ws_stroke_stats else "") + ")")
         print(json.dumps({
             "metric": metric,
             "value": round(value, 2),
