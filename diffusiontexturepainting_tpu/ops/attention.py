@@ -22,10 +22,12 @@ import jax.numpy as jnp
 _FLASH_MIN_Q_LEN = 1024
 
 # Evaluate the softmax exp2 on bf16 logits inside the fused kernel when
-# the activations are bf16 (measured 0.69 vs 1.16 ms per L0
-# self-attention on v5e, tools/bench_attn_variants.py; numerics within
-# bf16 rounding because the probabilities feed a bf16 matmul either way).
-_EXP2_BF16 = True
+# the activations are bf16. Negative result, kept measurable: an early
+# microbench (stale chained-timing carry) suggested 0.69 vs 1.16 ms per
+# L0 self-attention; re-measured with the data-dependent carry it is a
+# REGRESSION (1.503 vs 1.318 ms at L0, tools/bench_attn_variants.py on
+# v5e) - the bf16 cast before exp2 adds a pass instead of removing one.
+_EXP2_BF16 = False
 
 
 def _split_heads(x, num_heads):

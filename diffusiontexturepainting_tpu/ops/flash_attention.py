@@ -27,8 +27,15 @@ from jax.experimental.pallas import tpu as pltpu
 _LOG2E = 1.4426950408889634  # log2(e)
 
 
+# Static base-2 shift for the no-max softmax (see _attn_kernel nomax):
+# any constant shift cancels exactly in the normalization; 32 centers
+# the f32 exp2 range for typical attention logits (|base-2 logits| < 50
+# for LayerNormed q/k).
+_NOMAX_SHIFT = 32.0
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
-                 exp2_bf16: bool = False):
+                 exp2_bf16: bool = False, nomax: bool = False):
     # VPU-lean softmax: the serial VPU work between the two MXU calls is
     # what keeps this kernel off the matmul floor (profiled 1.54 ms vs
     # the 1.05 ms padded-MXU floor at the 4096-token level), so every
@@ -45,6 +52,16 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     #     exp2 to before it) while the transcendental pass runs at the
     #     packed-bf16 VPU rate and the separate f32->bf16 cast pass
     #     disappears. The row sum still accumulates in f32.
+    #   - nomax replaces the row-max reduce+subtract entirely with a
+    #     STATIC shift (constant shifts cancel exactly in the final
+    #     normalization): deletes one O(Bq*Lk) reduce pass. Measured
+    #     1.455 vs 1.728 ms at the L0 shape (tools/bench_attn_variants
+    #     "nomax-safe"). Guard rails make it total: logits clamp at
+    #     shift+88 (fuses into the exp2 pass; saturation instead of
+    #     f32 overflow needs raw logits > 83, far beyond LayerNormed
+    #     q/k), and a 1e-30 epsilon on the row sum turns the
+    #     all-underflow corner (every base-2 logit < shift-126) into a
+    #     zero output instead of 0/0.
     q = q_ref[0]  # (Bq, hd)
     k = k_ref[0]  # (Lk, hd)
     v = v_ref[0]  # (Lk, hd)
@@ -52,6 +69,14 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     scores = jax.lax.dot_general(
         qs, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # (Bq, Lk) f32, base-2 logits
+    if nomax:
+        s = jnp.minimum(scores, _NOMAX_SHIFT + 88.0) - _NOMAX_SHIFT
+        e = jnp.exp2(s)
+        l = jnp.sum(e, axis=-1, keepdims=True) + 1e-30
+        o = jnp.dot(e.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32)
+        o_ref[0] = (o / l).astype(o_ref.dtype)
+        return
     m = jnp.max(scores, axis=-1, keepdims=True)
     if exp2_bf16:
         e = jnp.exp2((scores - m).astype(jnp.bfloat16))
@@ -71,15 +96,20 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale", "q_block",
-                                              "exp2_bf16"))
+                                              "exp2_bf16", "nomax"))
 def flash_attention(q, k, v, num_heads: int, scale: float | None = None,
-                    q_block: int | None = None, exp2_bf16: bool = False):
+                    q_block: int | None = None, exp2_bf16: bool = False,
+                    nomax: bool = True):
     """Fused attention: (B, Lq, D) x (B, Lk, D) -> (B, Lq, D).
 
     D = num_heads * head_dim; head_dim is padded to 128 internally.
     exp2_bf16: evaluate the softmax exp2 on bf16 logits (see
     _attn_kernel; a perf A/B knob, numerics within bf16 rounding of the
     default because probabilities feed a bf16 matmul either way).
+    nomax: static-shift softmax without the row-max pass (see
+    _attn_kernel; exact up to f32 rounding for any input whose raw
+    logits stay below ~83 - all normalized q/k do - and saturating,
+    never NaN, beyond). Applies to the unpadded-kv kernel only.
     """
     B, Lq, D = q.shape
     Lk = k.shape[1]
@@ -142,7 +172,7 @@ def flash_attention(q, k, v, num_heads: int, scale: float | None = None,
             o_ref[0] = (o / s).astype(o_ref.dtype)
     else:
         kernel = functools.partial(_attn_kernel, scale=scale,
-                                   exp2_bf16=exp2_bf16)
+                                   exp2_bf16=exp2_bf16, nomax=nomax)
 
     out = pl.pallas_call(
         kernel,

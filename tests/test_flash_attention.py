@@ -190,3 +190,39 @@ def test_slotted_attention_module_matches_plain():
         jax.default_backend = real_backend
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_nomax_softmax_matches_rowmax():
+    """The static-shift (no row-max pass) softmax is exact up to f32
+    rounding vs the row-max kernel for normalized-magnitude logits."""
+    rng = np.random.default_rng(11)
+    b, l, heads, hd = 2, 256, 8, 40
+    d = heads * hd
+    q = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        nomax = flash_attention(q, k, v, heads, nomax=True)
+        rowmax = flash_attention(q, k, v, heads, nomax=False)
+    np.testing.assert_allclose(np.asarray(nomax), np.asarray(rowmax),
+                               atol=3e-6, rtol=1e-5)
+
+
+def test_nomax_softmax_guard_rails():
+    """Saturation instead of NaN at absurd logits, zeros instead of 0/0
+    when every probability underflows."""
+    b, l, heads, hd = 1, 128, 1, 128
+    # huge logits: q.k ~ hd * 1e3^2 * scale >> clamp threshold
+    q = jnp.full((b, l, heads * hd), 1e3, jnp.float32)
+    k = jnp.full((b, l, heads * hd), 1e3, jnp.float32)
+    v = jnp.ones((b, l, heads * hd), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v, heads, nomax=True)
+    assert np.all(np.isfinite(np.asarray(out)))
+    np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-5)
+    # all-underflow: every base-2 logit far below shift - 126
+    q2 = jnp.full((b, l, heads * hd), -80.0, jnp.float32)
+    k2 = jnp.full((b, l, heads * hd), 80.0, jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out2 = flash_attention(q2, k2, v, heads, nomax=True)
+    assert np.all(np.isfinite(np.asarray(out2)))

@@ -39,7 +39,10 @@ from diffusiontexturepainting_tpu.ops.flash_attention import (
     flash_attention,
 )
 
-N = 20
+# N large enough that the tunnel's per-sync RTT jitter (tens of ms)
+# amortizes below 0.1 ms/call; an early N=20 run "measured" a variant
+# below the padded-MXU floor, which was pure RTT noise.
+N = 100
 sync = lambda o: np.asarray(o.ravel()[:1])
 
 
@@ -52,15 +55,12 @@ def chain_time(fn, q, k, v):
     f = jax.jit(chained)
     out = f(q, k, v)
     sync(out)
-    tic = time.perf_counter()
-    sync(out)
-    rtt = (time.perf_counter() - tic) * 1e3
     best = 1e9
-    for _ in range(3):
+    for _ in range(4):
         tic = time.perf_counter()
         out = f(q, k, v)
         sync(out)
-        best = min(best, (time.perf_counter() - tic) * 1e3 - rtt)
+        best = min(best, (time.perf_counter() - tic) * 1e3)
     return best / N
 
 
@@ -94,6 +94,88 @@ def _chunked_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, bk, nk, bf16_p):
         acc = acc * corr + pv
         m = m_new
     o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+def _nomax_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, shift, bk, nk,
+                  bf16_p, safe=False):
+    """Softmax WITHOUT the running-max pass: exp2(s - shift) with a
+    static shift. Any constant shift cancels exactly in the final
+    normalization; overflow needs base-2 logits > shift+126 (f32), i.e.
+    raw attention logits > (shift+126)/log2e ~ 130 at shift 64 - far
+    beyond anything LayerNormed q/k produce."""
+    q = q_ref[0]
+    qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+    l = jnp.zeros((q.shape[0], 1), jnp.float32)
+    acc = jnp.zeros((q.shape[0], k_ref.shape[-1]), jnp.float32)
+    for j in range(nk):
+        kj = k_ref[0, j * bk:(j + 1) * bk, :]
+        vj = v_ref[0, j * bk:(j + 1) * bk, :]
+        s = jax.lax.dot_general(qs, kj, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if safe:
+            # clamp fuses into the exp2 pass (no extra HBM/VMEM pass,
+            # unlike the row-max reduce): overflow becomes saturation
+            s = jnp.minimum(s, shift + 88.0)
+        if bf16_p:
+            p = jnp.exp2((s - shift).astype(jnp.bfloat16))
+            l = l + jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+            acc = acc + jnp.dot(p.astype(vj.dtype), vj,
+                                preferred_element_type=jnp.float32)
+        else:
+            p = jnp.exp2(s - shift)
+            l = l + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc + jnp.dot(p.astype(vj.dtype), vj,
+                                preferred_element_type=jnp.float32)
+    if safe:
+        # all-row-underflow (every base-2 logit < shift-126) yields l=0;
+        # the epsilon turns that NaN into 0 and is 1e-30-relative noise
+        # otherwise
+        l = l + 1e-30
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+def nomax_attention(q, k, v, num_heads, bk=4096, bf16_p=False, q_block=512,
+                    shift=32.0, safe=False):
+    B, Lq, D = q.shape
+    Lk = k.shape[1]
+    hd = D // num_heads
+    scale = hd**-0.5
+
+    def split(x, L):
+        x = x.reshape(B, L, num_heads, hd).transpose(0, 2, 1, 3)
+        return x.reshape(B * num_heads, L, hd)
+
+    qh, kh, vh = split(q, Lq), split(k, Lk), split(v, Lk)
+    hd_pad = _round_up(hd, 128)
+    if hd_pad != hd:
+        pad = ((0, 0), (0, 0), (0, hd_pad - hd))
+        qh, kh, vh = jnp.pad(qh, pad), jnp.pad(kh, pad), jnp.pad(vh, pad)
+    bq = min(q_block, Lq)
+    nk = Lk // bk
+    kernel = functools.partial(_nomax_kernel, scale=scale, shift=shift,
+                               bk=bk, nk=nk, bf16_p=bf16_p, safe=safe)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B * num_heads, Lq, hd_pad), q.dtype),
+        grid=(B * num_heads, Lq // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, hd_pad), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, hd_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, hd_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, hd_pad), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * num_heads * Lq * Lk * hd_pad,
+            bytes_accessed=B * num_heads * (2 * Lq + 2 * Lk) * hd_pad * 2,
+            transcendentals=B * num_heads * Lq * Lk,
+        ),
+    )(qh, kh, vh)
+    out = out[:, :, :hd].reshape(B, num_heads, Lq, hd).transpose(0, 2, 1, 3)
+    return out.reshape(B, Lq, D)
 
 
 def chunked_attention(q, k, v, num_heads, bk=1024, bf16_p=False,
@@ -204,6 +286,28 @@ def main():
                 lambda a, b_, c, bk=bk: chunked_attention(a, b_, c, h, bk=bk,
                                                           bf16_p=True),
                 q, k, v)
+        if lk >= 2048:
+            for bq in (512, 1024):
+                rows[f"chunk1024/bf16p/q{bq}"] = chain_time(
+                    lambda a, b_, c, bq=bq: chunked_attention(
+                        a, b_, c, h, bk=1024, bf16_p=True, q_block=bq),
+                    q, k, v)
+                rows[f"nomax/q{bq}"] = chain_time(
+                    lambda a, b_, c, bq=bq: nomax_attention(
+                        a, b_, c, h, bk=lk, q_block=bq), q, k, v)
+                rows[f"nomax/bf16p/q{bq}"] = chain_time(
+                    lambda a, b_, c, bq=bq: nomax_attention(
+                        a, b_, c, h, bk=lk, bf16_p=True, q_block=bq),
+                    q, k, v)
+                rows[f"nomax-safe/q{bq}"] = chain_time(
+                    lambda a, b_, c, bq=bq: nomax_attention(
+                        a, b_, c, h, bk=lk, q_block=bq, safe=True),
+                    q, k, v)
+            ref = flash_attention(q, k, v, h)
+            got = nomax_attention(q, k, v, h, bk=lk)
+            err = float(jnp.max(jnp.abs(ref.astype(jnp.float32)
+                                        - got.astype(jnp.float32))))
+            print(f"   nomax max|diff| vs base: {err:.4f}", file=sys.stderr)
         # slotted: pre-split inputs, kernel only (layout produced upstream
         # by the projection matmul in the real integration)
         hd_pad = _round_up(hd, 128)

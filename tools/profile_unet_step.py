@@ -65,8 +65,15 @@ def main():
     ap.add_argument("--fused-ff", action="store_true")
     ap.add_argument("--fused-norm", action="store_true")
     ap.add_argument("--fused-attn", action="store_true")
+    ap.add_argument("--ln", default=None, choices=["f32", "apply16"],
+                    help="override models.layers._LN_IMPL for the A/B")
     ap.add_argument("--trace-dir", default="/tmp/unet_trace")
     args = ap.parse_args()
+
+    if args.ln:
+        from diffusiontexturepainting_tpu.models import layers as _layers
+
+        _layers._LN_IMPL = args.ln
 
     from diffusiontexturepainting_tpu.core.config import (
         UNetConfig,
