@@ -134,7 +134,7 @@ def _dense1x1(x, p, dtype):
 
 
 def _fused_resnet(p, h, stats, num_groups, dtype, eps=1e-6, in_w=0,
-                  out_wpad=False):
+                  out_wpad=False, name="resnet"):
     """One ResnetBlock (no temb) as two fused kernels; returns
     (out, out_stats).
 
@@ -144,29 +144,35 @@ def _fused_resnet(p, h, stats, num_groups, dtype, eps=1e-6, in_w=0,
     follow the caller so whole encoder levels chain pad-free."""
     from ..ops.gn_conv_stream import gn_affine_from_stats, gn_conv_stream
 
-    w_int = in_w if in_w else h.shape[2]
-    n_spatial = h.shape[1] * w_int
-    a1, c1 = gn_affine_from_stats(stats, p["norm1"]["norm"]["scale"],
-                                  p["norm1"]["norm"]["bias"], num_groups,
-                                  n_spatial, eps)
-    k1 = p["conv1"]["kernel"].astype(dtype)
-    h1, s1 = gn_conv_stream(h, a1, c1, k1, p["conv1"]["bias"].astype(dtype),
-                            None, True, in_w=in_w, out_wpad=True)
-    a2, c2 = gn_affine_from_stats(s1, p["norm2"]["norm"]["scale"],
-                                  p["norm2"]["norm"]["bias"], num_groups,
-                                  n_spatial, eps)
-    residual = (_dense1x1(h, p["conv_shortcut"], dtype)
-                if "conv_shortcut" in p else h)
-    k2 = p["conv2"]["kernel"].astype(dtype)
-    return gn_conv_stream(h1, a2, c2, k2, p["conv2"]["bias"].astype(dtype),
-                          residual, True, in_w=w_int, out_wpad=out_wpad,
-                          res_wpad=bool(in_w))
+    with jax.named_scope(name):
+        w_int = in_w if in_w else h.shape[2]
+        n_spatial = h.shape[1] * w_int
+        a1, c1 = gn_affine_from_stats(stats, p["norm1"]["norm"]["scale"],
+                                      p["norm1"]["norm"]["bias"], num_groups,
+                                      n_spatial, eps)
+        k1 = p["conv1"]["kernel"].astype(dtype)
+        with jax.named_scope("conv1"):
+            h1, s1 = gn_conv_stream(h, a1, c1, k1,
+                                    p["conv1"]["bias"].astype(dtype),
+                                    None, True, in_w=in_w, out_wpad=True)
+        a2, c2 = gn_affine_from_stats(s1, p["norm2"]["norm"]["scale"],
+                                      p["norm2"]["norm"]["bias"], num_groups,
+                                      n_spatial, eps)
+        residual = (_dense1x1(h, p["conv_shortcut"], dtype)
+                    if "conv_shortcut" in p else h)
+        k2 = p["conv2"]["kernel"].astype(dtype)
+        with jax.named_scope("conv2"):
+            return gn_conv_stream(h1, a2, c2, k2,
+                                  p["conv2"]["bias"].astype(dtype),
+                                  residual, True, in_w=w_int,
+                                  out_wpad=out_wpad, res_wpad=bool(in_w))
 
 
 def _fused_mid(p, h, stats, num_groups, dtype):
     from ..ops.gn_conv_stream import gn_affine_from_stats, stats_of
 
-    h, stats = _fused_resnet(p["resnet_0"], h, stats, num_groups, dtype)
+    h, stats = _fused_resnet(p["resnet_0"], h, stats, num_groups, dtype,
+                             name="mid_resnet_0")
     b, hh, ww, c = h.shape
     a, cc = gn_affine_from_stats(stats, p["attn_norm"]["norm"]["scale"],
                                  p["attn_norm"]["norm"]["bias"], num_groups,
@@ -177,7 +183,8 @@ def _fused_mid(p, h, stats, num_groups, dtype):
                      name=None)
     out = attn.apply({"params": p["attn"]}, hn.reshape(b, hh * ww, c))
     h = h + out.reshape(b, hh, ww, c).astype(h.dtype)
-    h, stats = _fused_resnet(p["resnet_1"], h, stats_of(h), num_groups, dtype)
+    h, stats = _fused_resnet(p["resnet_1"], h, stats_of(h), num_groups, dtype,
+                             name="mid_resnet_1")
     return h, stats
 
 
@@ -187,14 +194,15 @@ def _fused_norm_silu_conv(p_norm, p_conv, h, stats, num_groups, dtype,
     dispatcher falls back to the XLA reference, which is fine here)."""
     from ..ops.gn_conv_stream import gn_affine_from_stats, gn_conv_stream
 
-    w_int = in_w if in_w else h.shape[2]
-    a, c = gn_affine_from_stats(stats, p_norm["norm"]["scale"],
-                                p_norm["norm"]["bias"], num_groups,
-                                h.shape[1] * w_int, eps)
-    out, _ = gn_conv_stream(h, a, c, p_conv["kernel"].astype(dtype),
-                            p_conv["bias"].astype(dtype), None, False,
-                            in_w=in_w)
-    return out
+    with jax.named_scope("conv_out_head"):
+        w_int = in_w if in_w else h.shape[2]
+        a, c = gn_affine_from_stats(stats, p_norm["norm"]["scale"],
+                                    p_norm["norm"]["bias"], num_groups,
+                                    h.shape[1] * w_int, eps)
+        out, _ = gn_conv_stream(h, a, c, p_conv["kernel"].astype(dtype),
+                                p_conv["bias"].astype(dtype), None, False,
+                                in_w=in_w)
+        return out
 
 
 def fused_encode(params, images, cfg: VAEConfig = VAEConfig(),
@@ -218,7 +226,8 @@ def fused_encode(params, images, cfg: VAEConfig = VAEConfig(),
         w_int = cur_w if cur_w else h.shape[2]
         for j in range(cfg.layers_per_block):
             h, stats = _fused_resnet(p[f"down_{i}_resnet_{j}"], h, stats, g,
-                                     dtype, in_w=cur_w, out_wpad=chained)
+                                     dtype, in_w=cur_w, out_wpad=chained,
+                                     name=f"down_{i}_resnet_{j}")
             if chained:
                 cur_w = w_int
         if i < n_levels - 1:
@@ -261,14 +270,16 @@ def fused_decode(params, latents, cfg: VAEConfig = VAEConfig(),
         w_int = cur_w if cur_w else h.shape[2]
         for j in range(cfg.layers_per_block + 1):
             h, stats = _fused_resnet(p[f"up_{i}_resnet_{j}"], h, stats, g,
-                                     dtype, in_w=cur_w, out_wpad=True)
+                                     dtype, in_w=cur_w, out_wpad=True,
+                                     name=f"up_{i}_resnet_{j}")
             cur_w = w_int
         if i < len(rev) - 1:
             up = p[f"up_{i}_upsample"]["conv"]
-            h, up_stats = upconv_stream(h.astype(dtype),
-                                        up["kernel"].astype(dtype),
-                                        up["bias"].astype(dtype),
-                                        in_w=cur_w, out_wpad=True)
+            with jax.named_scope(f"up_{i}_upsample"):
+                h, up_stats = upconv_stream(h.astype(dtype),
+                                            up["kernel"].astype(dtype),
+                                            up["bias"].astype(dtype),
+                                            in_w=cur_w, out_wpad=True)
             stats = up_stats if up_stats is not None else stats_of(h)
             cur_w = w_int * 2
     h = _fused_norm_silu_conv(p["conv_norm_out"], p["conv_out"], h, stats, g,

@@ -130,16 +130,22 @@ def flash_attention(q, k, v, num_heads: int, scale: float | None = None,
 
     qh, kh, vh = split(q, Lq), split(k, Lk), split(v, Lk)
 
-    hd_pad = _round_up(hd, 128)
     lk_pad = _round_up(Lk, 128)
     bq = min(q_block, _round_up(Lq, 128))
     lq_pad = _round_up(Lq, bq)
-    if hd_pad != hd:
-        pad = ((0, 0), (0, 0), (0, hd_pad - hd))
-        qh, kh, vh = jnp.pad(qh, pad), jnp.pad(kh, pad), jnp.pad(vh, pad)
+    # The head dim is NOT explicitly padded on the main path: a block
+    # whose last dim equals the full array dim is legal at any size, and
+    # Mosaic pads the VMEM tiles internally - so the jnp.pad HBM pass
+    # (and 3.2x kernel IO at hd 40) exists only on the padded-kv branch.
+    # Measured 1.464 vs 1.505 ms at the L0 shape, 0.376 vs 0.429 at L1
+    # (tools/bench_attn_variants.py nomax-unpadded).
+    hd_pad = hd
     if lq_pad != Lq:
         qh = jnp.pad(qh, ((0, 0), (0, lq_pad - Lq), (0, 0)))
     if lk_pad != Lk:
+        hd_pad = _round_up(hd, 128)
+        pad = ((0, 0), (0, 0), (0, hd_pad - hd))
+        qh, kh, vh = jnp.pad(qh, pad), jnp.pad(kh, pad), jnp.pad(vh, pad)
         # pad keys with -inf-scoring sentinels: zero k gives score 0, which
         # would pollute softmax - instead pad v with zeros and mask via a
         # large negative bias folded into k's pad? Simplest: pad k with
