@@ -144,28 +144,27 @@ def _fused_resnet(p, h, stats, num_groups, dtype, eps=1e-6, in_w=0,
     follow the caller so whole encoder levels chain pad-free."""
     from ..ops.gn_conv_stream import gn_affine_from_stats, gn_conv_stream
 
-    with jax.named_scope(name):
-        w_int = in_w if in_w else h.shape[2]
-        n_spatial = h.shape[1] * w_int
-        a1, c1 = gn_affine_from_stats(stats, p["norm1"]["norm"]["scale"],
-                                      p["norm1"]["norm"]["bias"], num_groups,
-                                      n_spatial, eps)
-        k1 = p["conv1"]["kernel"].astype(dtype)
-        with jax.named_scope("conv1"):
-            h1, s1 = gn_conv_stream(h, a1, c1, k1,
-                                    p["conv1"]["bias"].astype(dtype),
-                                    None, True, in_w=in_w, out_wpad=True)
-        a2, c2 = gn_affine_from_stats(s1, p["norm2"]["norm"]["scale"],
-                                      p["norm2"]["norm"]["bias"], num_groups,
-                                      n_spatial, eps)
-        residual = (_dense1x1(h, p["conv_shortcut"], dtype)
-                    if "conv_shortcut" in p else h)
-        k2 = p["conv2"]["kernel"].astype(dtype)
-        with jax.named_scope("conv2"):
-            return gn_conv_stream(h1, a2, c2, k2,
-                                  p["conv2"]["bias"].astype(dtype),
-                                  residual, True, in_w=w_int,
-                                  out_wpad=out_wpad, res_wpad=bool(in_w))
+    w_int = in_w if in_w else h.shape[2]
+    n_spatial = h.shape[1] * w_int
+    a1, c1 = gn_affine_from_stats(stats, p["norm1"]["norm"]["scale"],
+                                  p["norm1"]["norm"]["bias"], num_groups,
+                                  n_spatial, eps)
+    k1 = p["conv1"]["kernel"].astype(dtype)
+    with jax.named_scope(f"{name}_c1"):
+        h1, s1 = gn_conv_stream(h, a1, c1, k1,
+                                p["conv1"]["bias"].astype(dtype),
+                                None, True, in_w=in_w, out_wpad=True)
+    a2, c2 = gn_affine_from_stats(s1, p["norm2"]["norm"]["scale"],
+                                  p["norm2"]["norm"]["bias"], num_groups,
+                                  n_spatial, eps)
+    residual = (_dense1x1(h, p["conv_shortcut"], dtype)
+                if "conv_shortcut" in p else h)
+    k2 = p["conv2"]["kernel"].astype(dtype)
+    with jax.named_scope(f"{name}_c2"):
+        return gn_conv_stream(h1, a2, c2, k2,
+                              p["conv2"]["bias"].astype(dtype),
+                              residual, True, in_w=w_int,
+                              out_wpad=out_wpad, res_wpad=bool(in_w))
 
 
 def _fused_mid(p, h, stats, num_groups, dtype):

@@ -393,6 +393,53 @@ def nomax_allheads(q, k, v, num_heads, q_block=256, shift=32.0):
     )(q4, k4, v4)
 
 
+def _nomax_laneslice_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, shift,
+                            hd):
+    """Heads sliced from the packed (*, h*hd) lane dim INSIDE the kernel
+    (grid dim = head): no split transpose or pad exists outside at all.
+    The K/V (1, Lk, D) blocks stay VMEM-resident across the h and i grid
+    dims; the out block is revisited across h (h fastest), each step
+    writing its head's lane slice."""
+    h = pl.program_id(2)
+    q = q_ref[0, :, pl.ds(h * hd, hd)]
+    k = k_ref[0, :, pl.ds(h * hd, hd)]
+    v = v_ref[0, :, pl.ds(h * hd, hd)]
+    qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+    s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = jnp.minimum(s, shift + 88.0) - shift
+    e = jnp.exp2(s)
+    l = jnp.sum(e, axis=-1, keepdims=True) + 1e-30
+    o = jnp.dot(e.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    out = (o / l).astype(o_ref.dtype)
+    o_ref[0, :, pl.ds(h * hd, hd)] = out
+
+
+def nomax_laneslice(q, k, v, num_heads, q_block=256, shift=32.0):
+    B, Lq, D = q.shape
+    Lk = k.shape[1]
+    hd = D // num_heads
+    scale = hd**-0.5
+    bq = min(q_block, Lq)
+    kernel = functools.partial(_nomax_laneslice_kernel, scale=scale,
+                               shift=shift, hd=hd)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Lq, D), q.dtype),
+        grid=(B, Lq // bq, num_heads),
+        in_specs=[
+            pl.BlockSpec((1, bq, D), lambda b, i, h: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, D), lambda b, i, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, D), lambda b, i, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, D), lambda b, i, h: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+    )(q, k, v)
+
+
 SHAPES = [
     ("unet L0 512px", 3, 4096, 4096, 320, 8),
     ("unet L1 512px", 3, 1024, 1024, 640, 8),
