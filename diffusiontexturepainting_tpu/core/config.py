@@ -124,13 +124,14 @@ class PipelineConfig:
     # Fused VAE execution: run encoder/decoder as chained
     # GroupNorm-prologue/stats-epilogue streaming conv kernels
     # (ops/gn_conv_stream.py) instead of the Flax modules. Identical
-    # parameters and math. Gated per module from chained-loop on-device
-    # measurements at 512px (v5e): encoder 30.0 vs 37.7 ms (1.26x win),
-    # decoder 38.7 vs 18.1 ms (2.1x LOSS - the stream kernel's ht=8 row
-    # tiles lose to XLA's conv at the decoder's 512^2x128 levels), so
-    # only the encoder defaults to fused.
+    # parameters; numerics match the module path's bf16 epilogue
+    # ordering. Gated per module from on-device measurements at 512px
+    # (v5e). Round 3: with the cout-innermost grid (window DMA + GN
+    # prologue once per row window) the decoder fused path finally
+    # WINS: 17.3 vs 18.45 ms device (it lost 2.1x in round 1 when the
+    # prologue re-ran per cout tile); encoder 19.3 vs ~25 ms module.
     fused_vae_encoder: bool = True
-    fused_vae_decoder: bool = False
+    fused_vae_decoder: bool = True
     # Fused UNet resnet execution (chained-GN resident conv kernels,
     # models/layers.py ResnetBlock.fused): 11% faster per resnet chain at
     # the 512px L0 shape on v5e; shapes outside the resident-VMEM budget

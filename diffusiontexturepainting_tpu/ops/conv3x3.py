@@ -1065,16 +1065,21 @@ def _gn_res_kernel(x_ref, a_ref, c_ref, w_ref, b_ref, *rest,
                     preferred_element_type=jnp.float32)
         acc = d if acc is None else acc + d
     y = acc + bias[None, :]
+    # Module-path epilogue ordering (matches gn_conv_stream._kernel and
+    # _reference): round the conv result to the activation dtype FIRST,
+    # add the residual in that dtype, f32 stats over the rounded tensor.
+    yb = y.astype(out_ref.dtype)
     if res_ref is not None:
-        y = y + res_ref[0].reshape(H_T * W, N_T).astype(jnp.float32)
+        yb = yb + res_ref[0].reshape(H_T * W, N_T)
     if st_ref is not None:
         @pl.when(hi == 0)
         def _zero():
             st_ref[...] = jnp.zeros_like(st_ref)
 
-        st_ref[0, 0:1, :] += jnp.sum(y, axis=0)[None]
-        st_ref[0, 1:2, :] += jnp.sum(y * y, axis=0)[None]
-    out_ref[0] = y.reshape(H_T, W, N_T).astype(out_ref.dtype)
+        yf = yb.astype(jnp.float32)
+        st_ref[0, 0:1, :] += jnp.sum(yb, axis=0, dtype=jnp.float32)[None]
+        st_ref[0, 1:2, :] += jnp.sum(yf * yf, axis=0)[None]
+    out_ref[0] = yb.reshape(H_T, W, N_T)
 
 
 def gn_conv_resident_plan(x_shape, w_shape, has_res: bool = True):

@@ -144,20 +144,29 @@ def _kernel(x_hbm, a_ref, c_ref, w_ref, b_ref, *rest,
             H, W, H_T, Wp, Cin, N_T, has_res, want_stats, apply_gn,
             in_wpad=False, out_wpad=False, res_wpad=False):
     if has_res and want_stats:
-        res_ref, out_ref, st_ref, xwin, sem = rest
+        res_ref, out_ref, st_ref, xwin, sem, st_acc = rest
     elif has_res:
         res_ref, out_ref, xwin, sem = rest
-        st_ref = None
+        st_ref = st_acc = None
     elif want_stats:
-        out_ref, st_ref, xwin, sem = rest
+        out_ref, st_ref, xwin, sem, st_acc = rest
         res_ref = None
     else:
         out_ref, xwin, sem = rest
-        res_ref = st_ref = None
+        res_ref = st_ref = st_acc = None
 
     bb = pl.program_id(0)
-    hi = pl.program_id(2)
-    num_h = pl.num_programs(2)
+    # Grid order (B, H tiles, Cout tiles) with the COUT sweep innermost:
+    # the DMA'd + normalized window stays resident in its scratch slot
+    # across all Cout tiles, so the window DMA and the GN/SiLU prologue
+    # run ONCE per row window instead of once per (row, cout) step.
+    # (The old (B, Cout, H) order re-fetched and re-normalized the whole
+    # image Cout/N_T times - measured as the reason small N_T tiles lost
+    # the round-3 tile sweep at Cin 512 despite better MXU shapes.)
+    hi = pl.program_id(1)
+    ni = pl.program_id(2)
+    num_h = pl.num_programs(1)
+    first_n = ni == 0
 
     # Double-buffered window DMA: prefetch the next row window while this
     # grid step computes (guide "Patterns: Double Buffering").
@@ -209,15 +218,17 @@ def _kernel(x_hbm, a_ref, c_ref, w_ref, b_ref, *rest,
                 xwin.at[s], sem.at[s])
             d.wait() if do_wait else d.start()
 
-    @pl.when(hi == 0)
+    @pl.when(first_n & (hi == 0))
     def _first():
         run_dma(0, 0, False)
 
-    @pl.when(hi + 1 < num_h)
+    @pl.when(first_n & (hi + 1 < num_h))
     def _prefetch():
         run_dma(1 - slot, hi + 1, False)
 
-    run_dma(slot, hi, True)
+    @pl.when(first_n)
+    def _wait_window():
+        run_dma(slot, hi, True)
 
     if in_wpad:
         # zero the window rows the clamped DMA never filled (the
@@ -225,11 +236,11 @@ def _kernel(x_hbm, a_ref, c_ref, w_ref, b_ref, *rest,
         # against stale inf/NaN scratch making 0*x = NaN).
         zrow = jnp.zeros((1, Wp, Cin), xwin.dtype)
 
-        @pl.when(hi == 0)
+        @pl.when(first_n & (hi == 0))
         def _ztop():
             xwin[slot, 0:1] = zrow
 
-        @pl.when(hi + 1 >= num_h)
+        @pl.when(first_n & (hi + 1 >= num_h))
         def _zbot():
             xwin[slot, H_T + 1:H_T + 2] = zrow
 
@@ -242,28 +253,32 @@ def _kernel(x_hbm, a_ref, c_ref, w_ref, b_ref, *rest,
     # and W+1, and the global top/bottom rows on the first/last tiles).
     # Numerics: the affine applies in bf16, exactly like the module
     # path's GroupNorm32 (stats stay f32 upstream; only the per-element
-    # scale/shift rounds) - _reference below matches.
+    # scale/shift rounds) - _reference below matches. Runs ONCE per row
+    # window (first cout step); later cout steps reuse the normalized
+    # resident window.
     if apply_gn:
-        a = a_ref[0, 0, :].astype(xwin.dtype)
-        c0 = c_ref[0, 0, :].astype(xwin.dtype)
-        chunk_rows = _prologue_rows(Wp, Cin, xwin.dtype.itemsize)
-        for h0 in range(0, H_T + 2, chunk_rows):
-            rows = min(chunk_rows, H_T + 2 - h0)
-            chunk = xwin[slot, h0:h0 + rows, :, :]
-            chunk = chunk * a[None, None, :] + c0[None, None, :]
-            xwin[slot, h0:h0 + rows, :, :] = _silu_same_dtype(chunk)
-        zcol = jnp.zeros((H_T + 2, 1, Cin), xwin.dtype)
-        xwin[slot, :, 0:1, :] = zcol
-        xwin[slot, :, W + 1:W + 2, :] = zcol
-        zrow = jnp.zeros((1, Wp, Cin), xwin.dtype)
+        @pl.when(first_n)
+        def _prologue():
+            a = a_ref[0, 0, :].astype(xwin.dtype)
+            c0 = c_ref[0, 0, :].astype(xwin.dtype)
+            chunk_rows = _prologue_rows(Wp, Cin, xwin.dtype.itemsize)
+            for h0 in range(0, H_T + 2, chunk_rows):
+                rows = min(chunk_rows, H_T + 2 - h0)
+                chunk = xwin[slot, h0:h0 + rows, :, :]
+                chunk = chunk * a[None, None, :] + c0[None, None, :]
+                xwin[slot, h0:h0 + rows, :, :] = _silu_same_dtype(chunk)
+            zcol = jnp.zeros((H_T + 2, 1, Cin), xwin.dtype)
+            xwin[slot, :, 0:1, :] = zcol
+            xwin[slot, :, W + 1:W + 2, :] = zcol
+            zrow = jnp.zeros((1, Wp, Cin), xwin.dtype)
 
-        @pl.when(hi == 0)
-        def _zero_top():
-            xwin[slot, 0:1] = zrow
+            @pl.when(hi == 0)
+            def _zero_top():
+                xwin[slot, 0:1] = zrow
 
-        @pl.when(hi + 1 >= num_h)
-        def _zero_bot():
-            xwin[slot, H_T + 1:H_T + 2] = zrow
+            @pl.when(hi + 1 >= num_h)
+            def _zero_bot():
+                xwin[slot, H_T + 1:H_T + 2] = zrow
 
     acc = None
     for k in range(9):
@@ -273,24 +288,44 @@ def _kernel(x_hbm, a_ref, c_ref, w_ref, b_ref, *rest,
                     preferred_element_type=jnp.float32)
         acc = d if acc is None else acc + d
     y = acc + b_ref[0].astype(jnp.float32)[None]
+    # Epilogue in the ACTIVATION dtype, exactly like the module path:
+    # the conv output rounds to bf16 FIRST (= the module conv's bf16
+    # result), the residual adds in bf16 (= module `x_short + h`), and
+    # the GroupNorm stats are f32 converting-reduces over the bf16
+    # tensor (= GroupNorm32's astype(f32) + reduce, which sums the
+    # SAME rounded values). Round-3 profiling: the old f32 residual
+    # add + f32 stats reads were ~40% of the epilogue VPU time at the
+    # W=512/C=128 shapes.
+    yb = y.astype(out_ref.dtype)
     if res_ref is not None:
         if res_wpad:
             r = res_ref[0, :, pl.ds(1, W), :]  # interior of a wpadded res
         else:
             r = res_ref[0]
-        y = y + r.reshape(H_T * W, N_T).astype(jnp.float32)
+        yb = yb + r.reshape(H_T * W, N_T)
 
     if st_ref is not None:
+        # Stats accumulate in a persistent VMEM scratch (one (8, N_T)
+        # row-block per cout tile) and emit to the output block only on
+        # the LAST row window: with the cout sweep innermost the st
+        # output block's index revisits non-consecutively, so in-place
+        # accumulation through the block itself would depend on pallas
+        # revisit copy-in semantics; the scratch does not.
         @pl.when(hi == 0)
         def _zero():
-            st_ref[...] = jnp.zeros_like(st_ref)
+            st_acc[ni] = jnp.zeros_like(st_acc[ni])
 
-        s1 = jnp.sum(y, axis=0)[None]  # (1, N_T)
-        s2 = jnp.sum(y * y, axis=0)[None]
-        st_ref[0, 0:1, :] += s1
-        st_ref[0, 1:2, :] += s2
+        s1 = jnp.sum(yb, axis=0, dtype=jnp.float32)  # (N_T,)
+        s2 = jnp.sum(yb.astype(jnp.float32) * yb.astype(jnp.float32),
+                     axis=0)
+        st_acc[ni, 0:1, :] += s1[None]
+        st_acc[ni, 1:2, :] += s2[None]
 
-    y3 = y.reshape(H_T, W, N_T).astype(out_ref.dtype)
+        @pl.when(hi + 1 >= num_h)
+        def _emit_stats():
+            st_ref[0] = st_acc[ni]
+
+    y3 = yb.reshape(H_T, W, N_T)
     if out_wpad:
         # emit the width-padded layout directly: content at cols
         # [1, W+1), zero borders - the consumer then needs no XLA pad.
@@ -373,45 +408,52 @@ def _stream_fused_pallas(x, a, c, w, b, residual, want_stats, apply_gn,
 
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
-        pl.BlockSpec((1, 1, Cin), lambda bb, n, h: (bb, 0, 0),
+        pl.BlockSpec((1, 1, Cin), lambda bb, h, n: (bb, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, Cin), lambda bb, n, h: (bb, 0, 0),
+        pl.BlockSpec((1, 1, Cin), lambda bb, h, n: (bb, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((9, Cin, N_T), lambda bb, n, h: (0, 0, n),
+        pl.BlockSpec((9, Cin, N_T), lambda bb, h, n: (0, 0, n),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, N_T), lambda bb, n, h: (0, n),
+        pl.BlockSpec((1, N_T), lambda bb, h, n: (0, n),
                      memory_space=pltpu.VMEM),
     ]
     args = [xp, a2, c2, w9, b2]
     if residual is not None:
         rw = Wp if res_wpad else W
         in_specs.append(pl.BlockSpec((1, H_T, rw, N_T),
-                                     lambda bb, n, h: (bb, h, 0, n),
+                                     lambda bb, h, n: (bb, h, 0, n),
                                      memory_space=pltpu.VMEM))
         args.append(residual)
 
     ow = Wp if out_wpad else W
     out_shapes = [jax.ShapeDtypeStruct((B, H, ow, Cout), x.dtype)]
-    out_specs = [pl.BlockSpec((1, H_T, ow, N_T), lambda bb, n, h: (bb, h, 0, n),
+    out_specs = [pl.BlockSpec((1, H_T, ow, N_T), lambda bb, h, n: (bb, h, 0, n),
                               memory_space=pltpu.VMEM)]
     if want_stats:
         out_shapes.append(
             jax.ShapeDtypeStruct((B, _STATS_ROWS, Cout), jnp.float32))
         out_specs.append(pl.BlockSpec((1, _STATS_ROWS, N_T),
-                                      lambda bb, n, h: (bb, 0, n),
+                                      lambda bb, h, n: (bb, 0, n),
                                       memory_space=pltpu.VMEM))
+
+    scratch = [
+        pltpu.VMEM((2, H_T + 2, Wp, Cin), x.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if want_stats:
+        scratch.append(
+            pltpu.VMEM((Cout // N_T, _STATS_ROWS, N_T), jnp.float32))
 
     flops = 2 * B * H * W * Cin * Cout * 9
     out = pl.pallas_call(
         kernel,
-        grid=(B, Cout // N_T, H // H_T),
+        # Cout sweep INNERMOST: the DMA'd+normalized row window stays
+        # resident across all cout tiles (see _kernel).
+        grid=(B, H // H_T, Cout // N_T),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
-        scratch_shapes=[
-            pltpu.VMEM((2, H_T + 2, Wp, Cin), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=(xp.size + w9.size + 2 * B * H * W * Cout)
@@ -444,16 +486,21 @@ def _reference(x, a, c, w, b, residual, want_stats, apply_gn, in_w=0,
         preferred_element_type=jnp.float32)
     if b is not None:
         y = y + b.astype(jnp.float32)
+    # Module-path epilogue ordering (matches the kernel): the conv
+    # result rounds to the activation dtype FIRST, the residual adds in
+    # that dtype (= ResnetBlock's `x_short + h`), and the stats are f32
+    # reduces over the rounded tensor (= GroupNorm32's astype(f32)).
+    y = y.astype(x.dtype)
     if residual is not None:
-        y = y + residual.astype(jnp.float32)
+        y = y + residual.astype(x.dtype)
     stats = None
     if want_stats:
-        s1 = jnp.sum(y, axis=(1, 2))
-        s2 = jnp.sum(jnp.square(y), axis=(1, 2))
+        yf = y.astype(jnp.float32)
+        s1 = jnp.sum(yf, axis=(1, 2))
+        s2 = jnp.sum(jnp.square(yf), axis=(1, 2))
         zeros = jnp.zeros((x.shape[0], _STATS_ROWS - 2, y.shape[-1]),
                           jnp.float32)
         stats = jnp.concatenate([s1[:, None], s2[:, None], zeros], axis=1)
-    y = y.astype(x.dtype)
     if out_wpad:
         W = y.shape[2]
         y = jnp.pad(y, ((0, 0), (0, 0), (1, 1 + (-(W + 2)) % 8), (0, 0)))
