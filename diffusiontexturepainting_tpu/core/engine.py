@@ -27,7 +27,9 @@ from typing import Dict, Tuple
 import jax
 
 from ..pipeline.inpaint import StampModels, make_preview_fn, make_stamp_fn
-from ..pipeline.session import make_session_erase_fn, make_session_stamp_fn
+from ..pipeline.session import (make_session_erase_fn,
+                                make_session_stamp_fn,
+                                make_session_stroke_fn)
 
 logger = logging.getLogger(__name__)
 
@@ -104,6 +106,7 @@ class Engine:
         self._preview: Dict[Tuple[int, int], callable] = {}
         self._session_stamp: Dict[Tuple[int, int, int], callable] = {}
         self._session_erase: Dict[int, callable] = {}
+        self._session_stroke: Dict[Tuple[int, int, int], callable] = {}
         if persistent_cache:
             enable_persistent_cache()
 
@@ -179,6 +182,27 @@ class Engine:
                 f"session stamp {key}",
                 safe_jit=lambda f: jax.jit(f, donate_argnums=(1,)))
         return self._session_stamp[key]
+
+    def session_stroke_fn(self, resolution: int, steps: int,
+                          deep_cache_interval: int = 1):
+        """K-chained resident-canvas stroke program
+        (pipeline/session.py make_session_stroke_fn): one dispatch per
+        stroke segment instead of one per stamp. jit re-specializes per
+        (canvas shape, K) from one cache entry per (res, steps,
+        interval); the canvas (argnum 1) is donated."""
+        key = (int(resolution), int(steps), int(deep_cache_interval))
+        if key not in self._session_stroke:
+            fn = make_session_stroke_fn(
+                self.models, self.scheduler_name, key[1],
+                deep_cache_interval=key[2])
+            make_safe = lambda: make_session_stroke_fn(
+                self.safe_models, self.scheduler_name, key[1],
+                deep_cache_interval=key[2])
+            self._session_stroke[key] = self._guard(
+                jax.jit(fn, donate_argnums=(1,)), make_safe,
+                f"session stroke {key}",
+                safe_jit=lambda f: jax.jit(f, donate_argnums=(1,)))
+        return self._session_stroke[key]
 
     def session_erase_fn(self, resolution: int):
         """Resident-canvas erase program (no model, no VMEM risk)."""

@@ -116,6 +116,48 @@ def make_session_stamp_fn(models: StampModels, scheduler_name: str,
     return session_stamp
 
 
+def make_session_stroke_fn(models: StampModels, scheduler_name: str,
+                           num_steps: int, deep_cache_interval: int = 1):
+    """K chained resident-canvas stamps as ONE device program.
+
+    A fire-and-forget stroke client never needs a stamp's pixels, only
+    its acks - but dispatching one program per stamp pays one full
+    host->device round trip each (measured 12-30 ms through tunneled
+    backends, ~20% of the stroke wall time on top of ~125 ms device).
+    This program lax.scans the session stamp over K stacked requests so
+    a whole stroke segment is ONE dispatch; the canvas chains through
+    the scan carry entirely on-device. jit re-specializes per K (the
+    stacked leading dim), so callers get K-bucket programs for free
+    from the compile cache.
+
+    Returns fn(params, canvas_u8(H,W,4), brush, cond, uncond, rng,
+               counters(K,), xs(K,), ys(K,), cfg_ws(K,), tg_ws(K,),
+               tg_stepss(K,), pads(K,), margins(K,)) -> new_canvas_u8.
+    Semantically identical to K sequential session stamps with those
+    per-request scalars (same RNG stream: each stamp folds its own
+    counter).
+    """
+    stamp = make_session_stamp_fn(models, scheduler_name, num_steps,
+                                  deep_cache_interval=deep_cache_interval)
+
+    def session_stroke(params, canvas_u8, brush, cond, uncond, rng,
+                       counters, xs, ys, cfg_ws, tg_ws, tg_stepss, pads,
+                       margins):
+        def body(canvas, row):
+            counter, x0, y0, cfg_w, tg_w, tg_s, pad, margin = row
+            new_canvas, _ = stamp(params, canvas, brush, cond, uncond,
+                                  rng, counter, x0, y0, cfg_w, tg_w,
+                                  tg_s, pad, margin)
+            return new_canvas, None
+
+        new_canvas, _ = jax.lax.scan(
+            body, canvas_u8,
+            (counters, xs, ys, cfg_ws, tg_ws, tg_stepss, pads, margins))
+        return new_canvas
+
+    return session_stroke
+
+
 def make_session_erase_fn(res: int):
     """Resident-canvas erase program: zero RGBA under a filled-circle
     stamp mask (reference manager.py:48-53 circle + 267-270

@@ -189,6 +189,8 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
         """Hot-swap weights without recompiling (params are program
         arguments, so compiled stamp programs are reused) - the analog of
         the reference's TRT engine refit path (utilities.py:88-189)."""
+        if getattr(self, "_pending_stamps", None):
+            self.flush_session()  # deferred stamps bind params at flush
         self.params = self._cast_params_for_serving(
             self._load_params(checkpoint_dir))
         # re-encode the current brush under the new encoder weights
@@ -203,6 +205,10 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
         """Crop/resize the brush to model resolution and encode it into
         (cond, uncond) cross-attention tokens (reference trt_model.py:79-88)
         as one jitted program."""
+        # deferred stroke stamps bind the brush at FLUSH time: flush the
+        # old brush's stamps before swapping it
+        if getattr(self, "_pending_stamps", None):
+            self.flush_session()
         image = ensure_float01(image)[..., :3]
         self.image = crop_resize_square(image, self._resolution).astype(np.float32)
         self._brush_dev = jnp.asarray(self.image[None])
@@ -300,21 +306,86 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
     # asked. Consecutive stamps chain on-device, so a client can fire a
     # whole stroke without waiting and fetch once at the end.
 
+    # Fire-and-forget stamps coalesce into K-chained stroke programs:
+    # each dispatch through a tunneled/remote backend costs one full
+    # round trip (measured 12-30 ms) during which the device sits idle,
+    # so a 16-stamp stroke dispatched stamp-by-stamp pays 16 RTTs on top
+    # of ~16x125 ms device time. Deferring return_pixels=False stamps
+    # and flushing them as ONE lax.scan program (engine.session_stroke_fn)
+    # pays ~1 RTT per stroke segment instead. Results are bit-identical
+    # to eager stamps: each deferred stamp carries the counter it was
+    # enqueued with, so the RNG stream is unchanged.
+    _STROKE_FLUSH_CAP = 16
+
     def begin_session(self, canvas_u8: np.ndarray) -> None:
         from ..serving.model_base import validate_session_canvas
 
         canvas_u8 = validate_session_canvas(canvas_u8, self._resolution)
         self._session_canvas = jnp.asarray(canvas_u8)
+        self._pending_stamps = []
 
     def session_active(self) -> bool:
         return getattr(self, "_session_canvas", None) is not None
 
+    def _enqueue_stamp(self, x0, y0, steps, cfg_w, tg_w, tg_steps, pad,
+                       margin):
+        pending = self._pending_stamps
+        # one flush bucket = one (steps, interval) program; a settings
+        # change that alters the static step count splits the stroke
+        if pending and pending[0]["steps"] != steps:
+            self.flush_session()
+        pending.append(dict(steps=steps, counter=self._next_counter(),
+                            x0=np.int32(x0), y0=np.int32(y0), cfg_w=cfg_w,
+                            tg_w=tg_w, tg_steps=tg_steps, pad=pad,
+                            margin=margin))
+        if len(pending) >= self._STROKE_FLUSH_CAP:
+            self.flush_session()
+
+    def flush_session(self) -> None:
+        """Dispatch every deferred fire-and-forget stamp as one chained
+        stroke program (no-op when nothing is pending)."""
+        pending = getattr(self, "_pending_stamps", None)
+        if not pending:
+            return
+        self._pending_stamps = []
+        canvas = self._require_session()
+        steps = pending[0]["steps"]
+        if len(pending) == 1:
+            p = pending[0]
+            fn = self.engine.session_stamp_fn(
+                self._resolution, steps, self._cache_interval(steps))
+            with self.timer.stage(f"session stamp x{steps}"):
+                new_canvas, _ = fn(
+                    self.params, canvas, self._brush_dev, self._cond,
+                    self._uncond, self._base_key, p["counter"], p["x0"],
+                    p["y0"], p["cfg_w"], p["tg_w"], p["tg_steps"],
+                    p["pad"], p["margin"])
+        else:
+            fn = self.engine.session_stroke_fn(
+                self._resolution, steps, self._cache_interval(steps))
+            stack = lambda k: np.stack([p[k] for p in pending])
+            with self.timer.stage(
+                    f"session stroke x{steps} k={len(pending)}"):
+                new_canvas = fn(
+                    self.params, canvas, self._brush_dev, self._cond,
+                    self._uncond, self._base_key, stack("counter"),
+                    stack("x0"), stack("y0"), stack("cfg_w"),
+                    stack("tg_w"), stack("tg_steps"), stack("pad"),
+                    stack("margin"))
+        self._session_canvas = new_canvas
+
     def stamp_at(self, x0: int, y0: int, return_pixels: bool = True,
                  overpaint: bool = False, **settings):
-        canvas = self._require_session()
+        self._require_session()
         steps, cfg_w, tg_w, tg_steps, pad = self._settings_scalars(settings)
         margin = np.int32(max(1, round(37 / 256 * self._resolution))
                           if overpaint else 0)
+        if not return_pixels:
+            self._enqueue_stamp(x0, y0, steps, cfg_w, tg_w, tg_steps, pad,
+                                margin)
+            return None
+        self.flush_session()
+        canvas = self._require_session()
         fn = self.engine.session_stamp_fn(
             self._resolution, steps, self._cache_interval(steps))
         with self.timer.stage(f"session stamp x{steps}"):
@@ -324,9 +395,10 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
                 np.int32(x0), np.int32(y0), cfg_w, tg_w, tg_steps, pad,
                 margin)
             self._session_canvas = new_canvas
-            return np.asarray(comp_u8) if return_pixels else None
+            return np.asarray(comp_u8)
 
     def erase_at(self, x0: int, y0: int, return_pixels: bool = True):
+        self.flush_session()
         canvas = self._require_session()
         fn = self.engine.session_erase_fn(self._resolution)
         new_canvas, crop_u8 = fn(canvas, np.int32(x0), np.int32(y0))
@@ -334,18 +406,22 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
         return np.asarray(crop_u8) if return_pixels else None
 
     def fetch_canvas(self) -> np.ndarray:
-        """Synchronizes the stroke: blocks until every queued stamp has
-        executed, then downloads the canvas once."""
+        """Synchronizes the stroke: flushes deferred stamps, blocks until
+        every queued stamp has executed, then downloads the canvas once."""
+        self.flush_session()
         return np.asarray(self._require_session())
 
     def sync_session(self) -> None:
-        """Block until every queued stamp has executed, downloading one
-        byte instead of the whole canvas (block_until_ready does not
-        guarantee completion on tunneled backends; fetching data does)."""
+        """Flush + block until every queued stamp has executed,
+        downloading one byte instead of the whole canvas
+        (block_until_ready does not guarantee completion on tunneled
+        backends; fetching data does)."""
+        self.flush_session()
         np.asarray(self._require_session().ravel()[:1])
 
     def end_session(self) -> None:
         self._session_canvas = None
+        self._pending_stamps = []
 
     def _require_session(self):
         canvas = getattr(self, "_session_canvas", None)

@@ -306,6 +306,28 @@ class InpaintWebSocketHandler(WebSocketHandler):
                                                 msg_type)
             if msg_type == R.END_SESSION.value and self.service is None:
                 self.model._session_owner = None
+            # fire-and-forget stamps DEFER (pipeline/tpu_model.py): the
+            # model coalesces them into one chained stroke dispatch. A
+            # callback on the loop flushes once the already-received
+            # frames of the burst are processed, so a painter who stops
+            # mid-stroke still gets the work dispatched immediately
+            # rather than at the next synchronizing request.
+            if (msg_type == R.STAMP_AT.value
+                    and getattr(self.model, "_pending_stamps", None)
+                    and not getattr(self, "_flush_scheduled", False)):
+                import tornado.ioloop
+
+                self._flush_scheduled = True
+
+                def _flush():
+                    self._flush_scheduled = False
+                    try:
+                        if hasattr(self.model, "flush_session"):
+                            self.model.flush_session()
+                    except Exception:  # noqa: BLE001 - see FETCH error path
+                        logger.exception("deferred stroke flush failed")
+
+                tornado.ioloop.IOLoop.current().add_callback(_flush)
             return reply
         except Exception as e:  # noqa: BLE001 - reply, never silence
             logger.exception("session request failed: %s", e)

@@ -574,3 +574,47 @@ def test_canvas_painter_over_websocket(mock_server):
         p.close()
     finally:
         client.close()
+
+
+@pytest.mark.slow
+def test_deferred_stroke_matches_eager_stamps(tiny_model):
+    """Fire-and-forget stamps coalesce into ONE chained stroke program
+    (pipeline/session.py make_session_stroke_fn); the flushed result
+    must be bit-identical to dispatching the same stamps eagerly
+    (same counters -> same RNG stream)."""
+    model = tiny_model
+    canvas = make_canvas(h=96, w=160, seed=11)
+    pts = [(0, 0), (24, 8), (48, 16)]
+
+    model.begin_session(canvas)
+    c0 = model._request_counter
+    for (x0, y0) in pts:
+        model.stamp_at(x0, y0, return_pixels=False, **settings_small)
+    assert len(model._pending_stamps) == len(pts)  # deferred, not run
+    deferred = model.fetch_canvas()
+    model.end_session()
+
+    model.begin_session(canvas)
+    model._request_counter = c0
+    for (x0, y0) in pts:
+        model.stamp_at(x0, y0, return_pixels=True, **settings_small)
+    eager = model.fetch_canvas()
+    model.end_session()
+
+    np.testing.assert_array_equal(deferred, eager)
+
+
+@pytest.mark.slow
+def test_deferred_stroke_flushes_on_brush_change(tiny_model):
+    """Deferred stamps bind the brush at flush: set_brush mid-stroke
+    must flush the pending stamps under the OLD brush first."""
+    model = tiny_model
+    canvas = make_canvas(h=96, w=160, seed=12)
+    model.begin_session(canvas)
+    model.stamp_at(0, 0, return_pixels=False, **settings_small)
+    assert model._pending_stamps
+    model.set_brush(np.random.default_rng(5).random((64, 64, 3))
+                    .astype(np.float32))
+    assert not model._pending_stamps
+    model.fetch_canvas()
+    model.end_session()
