@@ -79,12 +79,22 @@ def attention(q, k, v, num_heads: int, scale: float | None = None,
     # same rounding the kernel uses (flash_attention pads head_dim to the
     # next multiple of 128); max() alone undercounts e.g. hd=160 -> 256
     hd_pad = ((head_dim + 127) // 128) * 128
-    kv_bytes = 2 * k.shape[1] * hd_pad * 2
-    score_bytes = (512 if hd_pad <= 128 else 128) * k.shape[1] * 4
+    itemsize = jnp.dtype(q.dtype).itemsize
+    qb = 512 if hd_pad <= 128 else 128
+    if itemsize > 2:
+        qb = min(qb, 256)  # matches flash_attention's f32 q_block cap
+    kv_bytes = 2 * k.shape[1] * hd_pad * itemsize
+    score_bytes = qb * k.shape[1] * 4
     resident_fits = kv_bytes + score_bytes <= 11 * 1024 * 1024
     if use_flash is None:
+        # honor the scoped pallas-off override (ops/conv3x3.conv_impl):
+        # the engine's scoped-VMEM fallback re-traces under
+        # conv_impl("xla") and must get a genuinely pallas-free program
+        from . import conv3x3
+
         use_flash = (
-            q.shape[1] >= _FLASH_MIN_Q_LEN
+            conv3x3._FORCE_IMPL != "xla"
+            and q.shape[1] >= _FLASH_MIN_Q_LEN
             and q.shape[1] == k.shape[1]
             and head_dim <= 512
             and jax.default_backend() == "tpu"

@@ -121,6 +121,13 @@ def flash_attention(q, k, v, num_heads: int, scale: float | None = None,
         # K/V panel + f32 score block stay inside VMEM (q_block 512 at
         # hd 512 x Lk 4096 compiles to an 18 MB scoped allocation - OOM)
         q_block = min(q_block, 128)
+    if jnp.dtype(q.dtype).itemsize > 2:
+        # f32 inputs double the exp2-output block (e stays f32 instead of
+        # bf16): q_block 512 at Lk 4096 compiles to a 16.25 MB scoped
+        # allocation vs the 16 MB limit. Halving the q block keeps the
+        # f32 fidelity-reference path (tools/check_bf16_fidelity.py)
+        # compiling; bf16 serving is untouched.
+        q_block = min(q_block, 256)
     if scale is None:
         scale = hd**-0.5
 

@@ -142,18 +142,17 @@ def _prologue_rows(Wp: int, Cin: int, itemsize: int = 2,
 
 def _kernel(x_hbm, a_ref, c_ref, w_ref, b_ref, *rest,
             H, W, H_T, Wp, Cin, N_T, has_res, want_stats, apply_gn,
-            in_wpad=False, out_wpad=False, res_wpad=False):
-    if has_res and want_stats:
-        res_ref, out_ref, st_ref, xwin, sem, st_acc = rest
-    elif has_res:
-        res_ref, out_ref, xwin, sem = rest
-        st_ref = st_acc = None
-    elif want_stats:
-        out_ref, st_ref, xwin, sem, st_acc = rest
-        res_ref = None
-    else:
-        out_ref, xwin, sem = rest
-        res_ref = st_ref = st_acc = None
+            in_wpad=False, out_wpad=False, res_wpad=False,
+            shift_reps=False):
+    rest = list(rest)
+    res_ref = rest.pop(0) if has_res else None
+    out_ref = rest.pop(0)
+    st_ref = rest.pop(0) if want_stats else None
+    xwin = rest.pop(0)
+    sem = rest.pop(0)
+    st_acc = rest.pop(0) if want_stats else None
+    xrep = rest.pop(0) if shift_reps else None
+    assert not rest, "unconsumed kernel operands"
 
     bb = pl.program_id(0)
     # Grid order (B, H tiles, Cout tiles) with the COUT sweep innermost:
@@ -280,10 +279,29 @@ def _kernel(x_hbm, a_ref, c_ref, w_ref, b_ref, *rest,
             def _zero_bot():
                 xwin[slot, H_T + 1:H_T + 2] = zrow
 
+    if shift_reps:
+        # Column-shifted replicas of the normalized window, built ONCE
+        # per row window: the tap loop's dj in {1, 2} column slices are
+        # sublane-OFFSET reads that Mosaic must relayout before each
+        # matmul - measured as 35-42% of per-step time at the VAE decode
+        # shapes (tools/bench_conv_shift_cost.py) and re-paid by every
+        # cout step because the extraction sits inside the grid step.
+        # Replica r holds window cols shifted left by r, so every tap
+        # read below is tile-aligned (the di row slice indexes the
+        # leading, non-tiled dim - free); the two shifted copies here
+        # amortize over all Cout//N_T grid steps of the window.
+        @pl.when(first_n)
+        def _build_reps():
+            xrep[0, :, :Wp - 1, :] = xwin[slot, :, 1:, :]
+            xrep[1, :, :Wp - 2, :] = xwin[slot, :, 2:, :]
+
     acc = None
     for k in range(9):
         di, dj = divmod(k, 3)
-        slab = xwin[slot, pl.ds(di, H_T), pl.ds(dj, W), :]
+        if shift_reps and dj:
+            slab = xrep[dj - 1, pl.ds(di, H_T), pl.ds(0, W), :]
+        else:
+            slab = xwin[slot, pl.ds(di, H_T), pl.ds(dj, W), :]
         d = jnp.dot(slab.reshape(H_T * W, Cin), w_ref[k],
                     preferred_element_type=jnp.float32)
         acc = d if acc is None else acc + d
@@ -337,8 +355,33 @@ def _kernel(x_hbm, a_ref, c_ref, w_ref, b_ref, *rest,
         out_ref[0] = y3
 
 
+_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _plan_vmem_bytes(ht, nt, Wp, W, Cin, itemsize):
+    """The plan's VMEM accounting (original tuning baseline: the window
+    counted once - the second DMA slot rides the headroom above the
+    13 MB line)."""
+    win = (ht + 2) * Wp * Cin * itemsize   # DMA window / in-place scratch
+    # f32 chunk temporaries: the row-chunk adapts to wide shapes
+    tmp = _prologue_rows(Wp, Cin, itemsize) * Wp * Cin * 3 * itemsize
+    accb = ht * W * nt * 4                  # f32 tap accumulator
+    # out/res tiles budgeted at the width-padded Wp so the same
+    # plan stays valid for the chained (wpadded) layouts
+    outb = ht * Wp * nt * itemsize * 2      # double-buffered out
+    resb = ht * Wp * nt * itemsize * 2
+    wb = 9 * Cin * nt * itemsize * 2
+    return win + tmp + accb + outb + resb + wb
+
+
 def stream_fused_plan(x_shape, w_shape, itemsize: int = 2):
-    """(H_T, N_T) if the streaming fused kernel supports this conv."""
+    """(H_T, N_T) if the streaming fused kernel supports this conv.
+
+    Prefers the tallest row tile whose budget ALSO fits the two
+    column-shifted tap replicas (see _kernel shift_reps): aligned tap
+    reads beat taller halo amortization at every measured shape
+    (tools/bench_conv_shift_cost.py). Falls back to the replica-less
+    search when nothing fits with them."""
     if len(x_shape) != 4 or len(w_shape) != 4:
         return None
     B, H, W, Cin = x_shape
@@ -358,27 +401,21 @@ def stream_fused_plan(x_shape, w_shape, itemsize: int = 2):
     # Joint search, taller row tiles first (halo amortization beats wider
     # output tiles: the (ht+2)/ht read amplification is the kernel's main
     # overhead at large W).
-    for ht in (64, 32, 16, 8):
-        if H % ht:
-            continue
-        win = (ht + 2) * Wp * Cin * itemsize   # DMA window / in-place scratch
-        # f32 chunk temporaries: the row-chunk adapts to wide shapes
-        tmp = _prologue_rows(Wp, Cin, itemsize) * Wp * Cin * 3 * itemsize
-        for nt in nts:
-            accb = ht * W * nt * 4                  # f32 tap accumulator
-            # out/res tiles budgeted at the width-padded Wp so the same
-            # plan stays valid for the chained (wpadded) layouts
-            outb = ht * Wp * nt * itemsize * 2      # double-buffered out
-            resb = ht * Wp * nt * itemsize * 2
-            wb = 9 * Cin * nt * itemsize * 2
-            if win + accb + outb + resb + wb + tmp <= 13 * 1024 * 1024:
-                return ht, nt
+    for with_reps in (True, False):
+        for ht in (64, 32, 16, 8):
+            if H % ht:
+                continue
+            reps = 2 * (ht + 2) * Wp * Cin * itemsize if with_reps else 0
+            for nt in nts:
+                used = _plan_vmem_bytes(ht, nt, Wp, W, Cin, itemsize)
+                if used + reps <= _VMEM_BUDGET:
+                    return ht, nt
     return None
 
 
 def _stream_fused_pallas(x, a, c, w, b, residual, want_stats, apply_gn,
                          plan, interpret=False, in_w=0, out_wpad=False,
-                         res_wpad=False):
+                         res_wpad=False, shift_reps=None):
     if in_w:
         B, H, Wp_in, Cin = x.shape
         W = in_w
@@ -400,11 +437,20 @@ def _stream_fused_pallas(x, a, c, w, b, residual, want_stats, apply_gn,
     c2 = (c.astype(jnp.float32) if c is not None else
           jnp.zeros((B, Cin), jnp.float32)).reshape(B, 1, Cin)
 
+    if shift_reps is None:
+        # auto: build the column-shifted replicas whenever their two
+        # extra window-sized buffers keep the total inside the plan's
+        # VMEM budget (same accounting as stream_fused_plan)
+        win = (H_T + 2) * Wp * Cin * x.dtype.itemsize
+        used = _plan_vmem_bytes(H_T, N_T, Wp, W, Cin,
+                                x.dtype.itemsize)
+        shift_reps = used + 2 * win <= _VMEM_BUDGET
+
     kernel = functools.partial(
         _kernel, H=H, W=W, H_T=H_T, Wp=Wp, Cin=Cin, N_T=N_T,
         has_res=residual is not None, want_stats=want_stats,
         apply_gn=apply_gn, in_wpad=bool(in_w), out_wpad=out_wpad,
-        res_wpad=res_wpad)
+        res_wpad=res_wpad, shift_reps=shift_reps)
 
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
@@ -443,6 +489,8 @@ def _stream_fused_pallas(x, a, c, w, b, residual, want_stats, apply_gn,
     if want_stats:
         scratch.append(
             pltpu.VMEM((Cout // N_T, _STATS_ROWS, N_T), jnp.float32))
+    if shift_reps:
+        scratch.append(pltpu.VMEM((2, H_T + 2, Wp, Cin), x.dtype))
 
     flops = 2 * B * H * W * Cin * Cout * 9
     out = pl.pallas_call(

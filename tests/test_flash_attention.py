@@ -226,3 +226,37 @@ def test_nomax_softmax_guard_rails():
     with pltpu.force_tpu_interpret_mode():
         out2 = flash_attention(q2, k2, v, heads, nomax=True)
     assert np.all(np.isfinite(np.asarray(out2)))
+
+
+def test_conv_impl_xla_disables_flash_dispatch(monkeypatch):
+    """The engine's scoped-VMEM fallback re-traces under conv_impl("xla")
+    and must get a genuinely pallas-free program: attention() must not
+    pick the flash kernels while the override is active (regression: the
+    r3 fidelity run's XLA-only fallback still OOM'd inside
+    flash_attention). Checked structurally (dispatch decision)."""
+    import diffusiontexturepainting_tpu.ops.attention as attnmod
+    import diffusiontexturepainting_tpu.ops.flash_attention as fa
+    from diffusiontexturepainting_tpu.ops.conv3x3 import conv_impl
+
+    called = {}
+
+    def fake_flash(q, k, v, h, scale=None, exp2_bf16=False):
+        called["flash"] = True
+        return q
+
+    def fake_stream(q, k, v, h, scale=None):
+        called["flash"] = True
+        return q
+
+    monkeypatch.setattr(fa, "flash_attention", fake_flash)
+    monkeypatch.setattr(fa, "flash_attention_streaming", fake_stream)
+    monkeypatch.setattr(attnmod.jax, "default_backend", lambda: "tpu",
+                        raising=False)
+    q = jnp.zeros((1, 4096, 320), jnp.float32)
+
+    with conv_impl("xla"):
+        attnmod.attention(q, q, q, 8)
+    assert "flash" not in called  # override active -> XLA path
+
+    attnmod.attention(q, q, q, 8)
+    assert called.get("flash")  # override lifted -> flash again
