@@ -111,9 +111,12 @@ def main():
                     help="independent strokes to sample")
     ap.add_argument("--no-stroke", action="store_true",
                     help="headline the isolated-request path instead")
-    ap.add_argument("--ws", action="store_true",
+    ap.add_argument("--ws", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="also time the stroke through a real local "
-                         "websocket server (ack traffic included)")
+                         "websocket server (ack traffic included; the "
+                         "server program is already compiled, so this "
+                         "costs seconds). --no-ws to skip.")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (CI smoke; the axon PJRT "
                          "plugin ignores JAX_PLATFORMS, so this must go "

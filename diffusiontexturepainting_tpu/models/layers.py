@@ -537,21 +537,25 @@ class ResnetBlock(nn.Module):
             # pallas implicit-GEMM conv), never to an unfused XLA conv -
             # the up-block concat conv1s (Cin 960-2560) turned into f32
             # XLA convs otherwise and cost +3.5 ms/UNet-step.
+            it = jnp.dtype(dt).itemsize
             if skip is None:
                 fuse1 = (not on_tpu
-                         or gn_conv_resident_plan(x.shape, w1_sh, False)
+                         or gn_conv_resident_plan(x.shape, w1_sh, False,
+                                                  itemsize=it)
                          is not None)
             else:
                 # split path: both halves must take the resident kernel
                 fuse1 = (not on_tpu or (
                     gn_conv_resident_plan(
-                        x.shape, (3, 3, ca, self.out_channels), False)
+                        x.shape, (3, 3, ca, self.out_channels), False,
+                        itemsize=it)
                     is not None
                     and gn_conv_resident_plan(
                         skip.shape, (3, 3, in_ch - ca, self.out_channels),
-                        True) is not None))
+                        True, itemsize=it) is not None))
             fuse2 = (not on_tpu
-                     or gn_conv_resident_plan(out_sh, w2_sh, True)
+                     or gn_conv_resident_plan(out_sh, w2_sh, True,
+                                              itemsize=it)
                      is not None)
             if fuse2:
                 n_sp = H * W

@@ -1082,7 +1082,8 @@ def _gn_res_kernel(x_ref, a_ref, c_ref, w_ref, b_ref, *rest,
     out_ref[0] = yb.reshape(H_T, W, N_T)
 
 
-def gn_conv_resident_plan(x_shape, w_shape, has_res: bool = True):
+def gn_conv_resident_plan(x_shape, w_shape, has_res: bool = True,
+                          itemsize: int = 2):
     """Itemized VMEM budget walk for the chained resident kernel.
 
     Returns (H_T, N_T, prologue_rows) or None. Components held at once
@@ -1095,6 +1096,9 @@ def gn_conv_resident_plan(x_shape, w_shape, has_res: bool = True):
       - the prologue's f32 normalize temporaries (row chunk adapts down
         at fat-Cin shapes: the up-block concat convs, Cin 960-2560,
         OOMed the fixed 8-row chunk).
+    `itemsize` = activation/weight dtype byte width (2 for bf16 serving,
+    4 for the f32 fidelity-reference path - budgeting f32 shapes with
+    bf16 sizes accepted plans whose kernels overflow scoped VMEM).
     Calibrated on v5e via tools/probe_gn_resident_shapes.py."""
     if len(x_shape) != 4 or len(w_shape) != 4:
         return None
@@ -1104,8 +1108,9 @@ def gn_conv_resident_plan(x_shape, w_shape, has_res: bool = True):
         return None
     if H < 2 or W < 2 or Cin < 16 or Cout < 128:
         return None
+    it = int(itemsize)
     limit = int(15 * 1024 * 1024)
-    img = (H + 2) * (W + 2) * Cin * 2
+    img = (H + 2) * (W + 2) * Cin * it
     if img > int(9.5 * 1024 * 1024):
         return None
     nts = ([Cout] if Cout <= 512 else []) + [
@@ -1114,16 +1119,19 @@ def gn_conv_resident_plan(x_shape, w_shape, has_res: bool = True):
     # than ht=32 (smaller out/acc footprint, same MXU shape)
     hts = [ht for ht in (16, 8) if H % ht == 0] or [H]
     for nt in nts:
-        wb = 9 * Cin * nt * 2 * (2 if Cout > nt else 1)
+        wb = 9 * Cin * nt * it * (2 if Cout > nt else 1)
         if img + wb > limit:
             continue
         for ht in hts:
-            tiles = ht * W * nt * (2 * 2 + (2 * 2 if has_res else 0) + 4)
+            # out tile double-buffered + optional residual tile
+            # double-buffered + f32 tap accumulator
+            tiles = ht * W * nt * (2 * it + (2 * it if has_res else 0) + 4)
             stats = 8 * nt * 4 * 2  # (STATS_ROWS, N_T) f32, double-buffered
             room = limit - img - wb - tiles - stats
             if room <= 0:
                 continue
-            per_row = (W + 2) * Cin * 6  # bf16 chunk + silu temp + store
+            # activation-dtype chunk + silu temp + store
+            per_row = (W + 2) * Cin * 3 * it
             pro_rows = min(8, room // per_row)
             if pro_rows >= 1:
                 return ht, nt, int(pro_rows)
@@ -1208,7 +1216,8 @@ def gn_conv_resident(x, a, c, w, b, residual=None, want_stats=True,
     (gn_conv_stream.gn_affine_from_stats). Serving-only (no VJP)."""
     if force != "xla":
         plan = gn_conv_resident_plan(x.shape, w.shape,
-                                     has_res=residual is not None)
+                                     has_res=residual is not None,
+                                     itemsize=x.dtype.itemsize)
         backend = jax.default_backend()
         if force == "pallas":
             if plan is None:

@@ -315,7 +315,15 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
     # pays ~1 RTT per stroke segment instead. Results are bit-identical
     # to eager stamps: each deferred stamp carries the counter it was
     # enqueued with, so the RNG stream is unchanged.
+    #
+    # Flushes dispatch in FIXED K buckets (greedy largest-first over
+    # _STROKE_BUCKETS): the stroke program jit-specializes per K, and a
+    # burst length depends on nondeterministic network timing - bucketed
+    # Ks keep the set of compiled programs finite (5 per operating
+    # point, all precompiled at session warmup) so no painter's stroke
+    # ever pays a mid-paint XLA compile for a novel K.
     _STROKE_FLUSH_CAP = 16
+    _STROKE_BUCKETS = (16, 8, 4, 2, 1)
 
     def begin_session(self, canvas_u8: np.ndarray) -> None:
         from ..serving.model_base import validate_session_canvas
@@ -329,11 +337,15 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
 
     def _enqueue_stamp(self, x0, y0, steps, cfg_w, tg_w, tg_steps, pad,
                        margin):
-        pending = self._pending_stamps
         # one flush bucket = one (steps, interval) program; a settings
         # change that alters the static step count splits the stroke
-        if pending and pending[0]["steps"] != steps:
+        if self._pending_stamps and self._pending_stamps[0]["steps"] != steps:
             self.flush_session()
+        # re-read after a potential flush: flush_session rebinds the
+        # attribute to a fresh list, so a local alias taken before the
+        # flush would append to the already-dispatched list (silently
+        # dropping the stamp that triggered the flush)
+        pending = self._pending_stamps
         pending.append(dict(steps=steps, counter=self._next_counter(),
                             x0=np.int32(x0), y0=np.int32(y0), cfg_w=cfg_w,
                             tg_w=tg_w, tg_steps=tg_steps, pad=pad,
@@ -341,17 +353,12 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
         if len(pending) >= self._STROKE_FLUSH_CAP:
             self.flush_session()
 
-    def flush_session(self) -> None:
-        """Dispatch every deferred fire-and-forget stamp as one chained
-        stroke program (no-op when nothing is pending)."""
-        pending = getattr(self, "_pending_stamps", None)
-        if not pending:
-            return
-        self._pending_stamps = []
-        canvas = self._require_session()
-        steps = pending[0]["steps"]
-        if len(pending) == 1:
-            p = pending[0]
+    def _dispatch_stroke_bucket(self, canvas, bucket):
+        """Dispatch one K-bucket of deferred stamps; returns the new
+        resident canvas (device array, not yet synced)."""
+        steps = bucket[0]["steps"]
+        if len(bucket) == 1:
+            p = bucket[0]
             fn = self.engine.session_stamp_fn(
                 self._resolution, steps, self._cache_interval(steps))
             with self.timer.stage(f"session stamp x{steps}"):
@@ -360,19 +367,48 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
                     self._uncond, self._base_key, p["counter"], p["x0"],
                     p["y0"], p["cfg_w"], p["tg_w"], p["tg_steps"],
                     p["pad"], p["margin"])
-        else:
-            fn = self.engine.session_stroke_fn(
-                self._resolution, steps, self._cache_interval(steps))
-            stack = lambda k: np.stack([p[k] for p in pending])
-            with self.timer.stage(
-                    f"session stroke x{steps} k={len(pending)}"):
-                new_canvas = fn(
-                    self.params, canvas, self._brush_dev, self._cond,
-                    self._uncond, self._base_key, stack("counter"),
-                    stack("x0"), stack("y0"), stack("cfg_w"),
-                    stack("tg_w"), stack("tg_steps"), stack("pad"),
-                    stack("margin"))
-        self._session_canvas = new_canvas
+            return new_canvas
+        fn = self.engine.session_stroke_fn(
+            self._resolution, steps, self._cache_interval(steps))
+        stack = lambda k: np.stack([p[k] for p in bucket])
+        with self.timer.stage(
+                f"session stroke x{steps} k={len(bucket)}"):
+            return fn(
+                self.params, canvas, self._brush_dev, self._cond,
+                self._uncond, self._base_key, stack("counter"),
+                stack("x0"), stack("y0"), stack("cfg_w"),
+                stack("tg_w"), stack("tg_steps"), stack("pad"),
+                stack("margin"))
+
+    def flush_session(self) -> None:
+        """Dispatch every deferred fire-and-forget stamp as chained
+        stroke programs (no-op when nothing is pending). Dispatches in
+        greedy _STROKE_BUCKETS sizes so only those K values ever
+        jit-specialize - all precompiled at session warmup, so no
+        painter's stroke pays a mid-paint XLA compile for a novel burst
+        length. If a dispatch raises, undispatched stamps are restored
+        to the queue so acked work is not silently dropped."""
+        pending = getattr(self, "_pending_stamps", None)
+        if not pending:
+            return
+        self._pending_stamps = []
+        canvas = self._require_session()
+        i = 0
+        try:
+            while i < len(pending):
+                k = next(b for b in self._STROKE_BUCKETS
+                         if b <= len(pending) - i)
+                canvas = self._dispatch_stroke_bucket(
+                    canvas, pending[i:i + k])
+                self._session_canvas = canvas
+                i += k
+        except Exception:
+            # restore the failed bucket + everything after it (each
+            # stamp keeps its enqueue-time counter, so a retry replays
+            # the identical RNG stream); the error propagates to the
+            # caller, whose next synchronizing request reports it
+            self._pending_stamps = pending[i:] + self._pending_stamps
+            raise
 
     def stamp_at(self, x0: int, y0: int, return_pixels: bool = True,
                  overpaint: bool = False, **settings):

@@ -53,23 +53,35 @@ class InpaintHTTPHandler(tornado.web.RequestHandler):
 
 
 def _warm_session(model, session_canvas: str, warmup_points=None):
-    """AOT-compile the stroke-session program for the declared canvas size
-    (the session analog of --warmup-points): one dummy begin/stamp/fetch/
-    end per step count, so the first client stroke is steady-state. Step
-    counts come from --warmup-points (plus the config default), because
-    the session program is specialized per (resolution, steps, canvas
+    """AOT-compile the stroke-session programs for the declared canvas
+    size (the session analog of --warmup-points): per step count, compile
+    the eager K=1 stamp AND every fire-and-forget flush bucket
+    (TPUConditionalInpainter._STROKE_BUCKETS), so no painter's first
+    stroke at any burst length pays a mid-paint XLA compile. Step counts
+    come from --warmup-points (plus the config default), because the
+    session program is specialized per (resolution, steps, canvas
     shape)."""
     import numpy as np
 
     w, h = (int(v) for v in session_canvas.lower().split("x"))
     steps_list = [None] + sorted({int(s) for (_r, s) in (warmup_points or [])})
-    logger.info("warming session program for a %dx%d canvas "
-                "(step counts: %s)...", w, h,
-                ["default" if s is None else s for s in steps_list])
+    buckets = getattr(model, "_STROKE_BUCKETS", None)
+    logger.info("warming session programs for a %dx%d canvas "
+                "(step counts: %s, K buckets: %s)...", w, h,
+                ["default" if s is None else s for s in steps_list],
+                list(buckets) if buckets else [1])
     model.begin_session(np.zeros((h, w, 4), np.uint8))
     for s in steps_list:
-        model.stamp_at(0, 0, return_pixels=False,
-                       **({} if s is None else {"steps": s}))
+        kw = {} if s is None else {"steps": s}
+        # eager path (return_pixels=True -> session_stamp program)
+        model.stamp_at(0, 0, return_pixels=True, **kw)
+        if buckets:
+            for k in buckets:
+                if k == 1:
+                    continue  # K=1 flush reuses the eager stamp program
+                for _ in range(k):
+                    model.stamp_at(0, 0, return_pixels=False, **kw)
+                model.flush_session()
     model.fetch_canvas()
     model.end_session()
 
