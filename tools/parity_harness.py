@@ -148,7 +148,23 @@ def check(args):
 
     rec = np.load(args.recording)
     name = os.path.basename(args.recording).replace(".npz", "")
-    sd = C.load_state_dict(args.state_dict)
+    if args.state_dict is None:
+        # fixture-style recording: the torch state dict is embedded in
+        # the same npz under "sd." keys (tools/record_parity_fixtures.py)
+        sd = {k[len("sd."):]: rec[k] for k in rec.files
+              if k.startswith("sd.")}
+        if not sd:
+            raise SystemExit("recording has no embedded state dict; "
+                             "pass --state-dict")
+    elif args.state_dict.endswith(".npz"):
+        sd_npz = np.load(args.state_dict)
+        sd = {k: sd_npz[k] for k in sd_npz.files}
+    else:
+        sd = C.load_state_dict(args.state_dict)
+    tiny = args.config == "tiny"
+    # tiny oracles (tests/test_torch_parity_assembled.py) use 1
+    # layer/block over 4 blocks; the real SD-1.5 checkpoints use 2
+    conv_kw = dict(layers_per_block=1, num_blocks=4) if tiny else {}
     to_dev = lambda tree: jax.tree_util.tree_map(jnp.asarray, tree)
 
     if name == "clip":
@@ -162,28 +178,40 @@ def check(args):
             {"params": params}, jnp.asarray(rec["in_pixel_values"]))
         ref = rec["out_pooled"]
     elif name == "unet":
-        from diffusiontexturepainting_tpu.core.config import UNetConfig
+        from diffusiontexturepainting_tpu.core.config import (
+            UNetConfig,
+            tiny_unet_config,
+        )
         from diffusiontexturepainting_tpu.models.unet import UNet2DCondition
 
-        params = to_dev(C.convert_unet(sd))
-        out = UNet2DCondition(UNetConfig()).apply(
+        params = to_dev(C.convert_unet(sd, **conv_kw))
+        cfg = tiny_unet_config() if tiny else UNetConfig()
+        out = UNet2DCondition(cfg).apply(
             {"params": params}, jnp.asarray(_nhwc(rec["in_sample_nchw"])),
             jnp.asarray(rec["in_timestep"]), jnp.asarray(rec["in_ctx"]))
         ref = _nhwc(rec["out_eps_nchw"])
     elif name == "vae_encoder":
-        from diffusiontexturepainting_tpu.core.config import VAEConfig
+        from diffusiontexturepainting_tpu.core.config import (
+            VAEConfig,
+            tiny_vae_config,
+        )
         from diffusiontexturepainting_tpu.models.vae import VAEEncoder
 
-        params = to_dev(C.convert_vae_encoder(sd))
-        out = VAEEncoder(VAEConfig()).apply(
+        params = to_dev(C.convert_vae_encoder(sd, **conv_kw))
+        cfg = tiny_vae_config() if tiny else VAEConfig()
+        out = VAEEncoder(cfg).apply(
             {"params": params}, jnp.asarray(_nhwc(rec["in_image_nchw"])))
         ref = _nhwc(rec["out_moments_nchw"])
     elif name == "vae_decoder":
-        from diffusiontexturepainting_tpu.core.config import VAEConfig
+        from diffusiontexturepainting_tpu.core.config import (
+            VAEConfig,
+            tiny_vae_config,
+        )
         from diffusiontexturepainting_tpu.models.vae import VAEDecoder
 
-        params = to_dev(C.convert_vae_decoder(sd))
-        out = VAEDecoder(VAEConfig()).apply(
+        params = to_dev(C.convert_vae_decoder(sd, **conv_kw))
+        cfg = tiny_vae_config() if tiny else VAEConfig()
+        out = VAEDecoder(cfg).apply(
             {"params": params}, jnp.asarray(_nhwc(rec["in_latents_nchw"])))
         ref = _nhwc(rec["out_image_nchw"])
     elif name == "patch_encoder":
@@ -230,9 +258,15 @@ def main(argv=None):
     r.add_argument("--out", required=True)
     c = sub.add_parser("check")
     c.add_argument("recording", help="<component>.npz from record")
-    c.add_argument("--state-dict", required=True,
-                   help="<component>_sd.pt from record (or the real "
-                        "checkpoint file)")
+    c.add_argument("--state-dict", default=None,
+                   help="<component>_sd.pt from record, the real checkpoint "
+                        "file, or a .npz of numpy weights; omit when the "
+                        "recording embeds its state dict under 'sd.' keys "
+                        "(tools/record_parity_fixtures.py)")
+    c.add_argument("--config", choices=["full", "tiny"], default="full",
+                   help="model config the recording was made at (tiny = "
+                        "the hand-torch oracle fixtures in "
+                        "tests/fixtures/parity)")
     c.add_argument("--atol", type=float, default=5e-3)
     args = ap.parse_args(argv)
     if args.cmd == "record":
