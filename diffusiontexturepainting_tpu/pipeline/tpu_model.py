@@ -52,12 +52,20 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
         warmup_points=None,
         seed: int | None = None,
         verbose_timing: bool = True,
+        dtype_overrides: dict | None = None,
     ):
+        """`dtype_overrides`: per-component compute-dtype override, e.g.
+        {"unet": jnp.float32} - the fidelity-bisect hook
+        (tools/check_bf16_fidelity.py --bisect). Keys: unet, vae_encoder,
+        vae_decoder, patch_encoder. Overridden components also keep their
+        params in that dtype. Serving uses a uniform dtype (None)."""
         self._resolution = int(resolution)
         self.config = config or PipelineConfig()
         if dtype is None:
             dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
         self.dtype = dtype
+        self._dtype_overrides = dict(dtype_overrides or {})
+        cdt = lambda name: self._dtype_overrides.get(name, dtype)
 
         if tiny:
             ucfg, vcfg, pcfg = (tiny_unet_config(), tiny_vae_config(),
@@ -72,10 +80,11 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
             ucfg = dataclasses.replace(ucfg, fused_norm=True)
         if self.config.fused_unet_attn:
             ucfg = dataclasses.replace(ucfg, fused_attn=True)
-        self.unet = UNet2DCondition(ucfg, dtype=dtype)
-        self.vae_encoder = VAEEncoder(vcfg, dtype=dtype)
-        self.vae_decoder = VAEDecoder(vcfg, dtype=dtype)
-        self.patch_encoder = ConditionPatchEncoder(pcfg, dtype=dtype)
+        self.unet = UNet2DCondition(ucfg, dtype=cdt("unet"))
+        self.vae_encoder = VAEEncoder(vcfg, dtype=cdt("vae_encoder"))
+        self.vae_decoder = VAEDecoder(vcfg, dtype=cdt("vae_decoder"))
+        self.patch_encoder = ConditionPatchEncoder(
+            pcfg, dtype=cdt("patch_encoder"))
 
         self.params = self._load_params(checkpoint_dir)
         self.params = self._cast_params_for_serving(self.params)
@@ -85,11 +94,13 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
         from ..models.vae import fused_decode, fused_encode
 
         if self.config.fused_vae_encoder:
-            vae_enc = lambda p, x: fused_encode(p, x, vcfg, self.dtype)
+            vae_enc = lambda p, x: fused_encode(p, x, vcfg,
+                                                cdt("vae_encoder"))
         else:
             vae_enc = lambda p, x: self.vae_encoder.apply({"params": p}, x)
         if self.config.fused_vae_decoder:
-            vae_dec = lambda p, z: fused_decode(p, z, vcfg, self.dtype)
+            vae_dec = lambda p, z: fused_decode(p, z, vcfg,
+                                                cdt("vae_decoder"))
         else:
             vae_dec = lambda p, z: self.vae_decoder.apply({"params": p}, z)
 
@@ -112,7 +123,7 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
         safe_ucfg = dataclasses.replace(
             ucfg, fused_resnet=False, fused_ff=False, fused_norm=False,
             fused_attn=False)
-        safe_unet = UNet2DCondition(safe_ucfg, dtype=dtype)
+        safe_unet = UNet2DCondition(safe_ucfg, dtype=cdt("unet"))
         safe_models = StampModels(
             unet_apply=lambda p, s, t, c: safe_unet.apply(
                 {"params": p}, s, t, c),
@@ -179,11 +190,15 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
         fp16 TRT engines (models.py fp16=True)."""
         if self.dtype != jnp.bfloat16:
             return params
-        return jax.tree_util.tree_map(
+        cast = lambda tree: jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16)
             if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
             else a,
-            params)
+            tree)
+        # dtype-overridden components (fidelity bisect) keep f32 params
+        return {k: (v if self._dtype_overrides.get(k) == jnp.float32
+                    else cast(v))
+                for k, v in params.items()}
 
     def reload_params(self, checkpoint_dir: str) -> None:
         """Hot-swap weights without recompiling (params are program
@@ -277,7 +292,7 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
         steps = int(settings.get("steps", self.config.denoising_steps))
         with self.timer.stage(f"stamp raw x{steps}"):
             raw_u8, _ = self._run_stamp(canvas, **settings)
-            raw_u8 = np.asarray(raw_u8)
+            raw_u8 = self._fetch_np(raw_u8)
         return raw_u8.astype(np.float32) / 255.0
 
     def generate(self, canvas: np.ndarray, **settings) -> np.ndarray:
@@ -287,7 +302,7 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
         steps = int(settings.get("steps", self.config.denoising_steps))
         with self.timer.stage(f"stamp x{steps}"):
             _, comp_u8 = self._run_stamp(canvas, **settings)
-            comp_u8 = np.asarray(comp_u8)
+            comp_u8 = self._fetch_np(comp_u8)
         return comp_u8.astype(np.float32) / 255.0
 
     def generate_u8(self, canvas_u8: np.ndarray, **settings) -> np.ndarray:
@@ -296,7 +311,7 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
         steps = int(settings.get("steps", self.config.denoising_steps))
         with self.timer.stage(f"stamp u8 x{steps}"):
             _, comp_u8 = self._run_stamp(canvas_u8, **settings)
-            return np.asarray(comp_u8)
+            return self._fetch_np(comp_u8)
 
     # --- stroke sessions: device-resident canvas -------------------------
     # Overrides the host-side fallback in ConditionalInpainterBase with
@@ -431,7 +446,7 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
                 np.int32(x0), np.int32(y0), cfg_w, tg_w, tg_steps, pad,
                 margin)
             self._session_canvas = new_canvas
-            return np.asarray(comp_u8)
+            return self._fetch_np(comp_u8)
 
     def erase_at(self, x0: int, y0: int, return_pixels: bool = True):
         self.flush_session()
@@ -441,11 +456,43 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
         self._session_canvas = new_canvas
         return np.asarray(crop_u8) if return_pixels else None
 
+    # Bands for the pipelined canvas download (fetch_canvas). The
+    # tunneled transport moves ~22 MB/s on a single blocking transfer
+    # but overlaps round trips across CONCURRENT transfers: fetching the
+    # 4 MB stroke canvas as 8 async band copies measured 140-190 ms vs
+    # 194-245 ms whole (tools/bench_fetch_pipeline.py). The split is ONE
+    # jitted program returning all bands (n separate eager slices would
+    # each pay a ~70 s remote-compile at first fetch).
+    _FETCH_BANDS = 8
+
+    def _fetch_np(self, arr) -> np.ndarray:
+        """Device->host download as _FETCH_BANDS overlapping async band
+        transfers (falls back to one blocking transfer when the leading
+        dim does not split)."""
+        n = self._FETCH_BANDS
+        if arr.shape[0] % n:
+            return np.asarray(arr)
+        fn = getattr(self, "_fetch_bands_fn", None)
+        if fn is None:
+            # a.shape is static under jit, so one cache entry
+            # re-specializes per array shape
+            fn = jax.jit(lambda a: tuple(
+                jax.lax.slice_in_dim(a, i * (a.shape[0] // n),
+                                     (i + 1) * (a.shape[0] // n), axis=0)
+                for i in range(n)))
+            self._fetch_bands_fn = fn
+        bands = fn(arr)
+        for b in bands:
+            b.copy_to_host_async()
+        return np.concatenate([np.asarray(b) for b in bands], axis=0)
+
     def fetch_canvas(self) -> np.ndarray:
         """Synchronizes the stroke: flushes deferred stamps, blocks until
-        every queued stamp has executed, then downloads the canvas once."""
+        every queued stamp has executed, then downloads the canvas as
+        overlapping async band transfers (one blocking transfer leaves
+        the tunnel's round trips serialized; see _FETCH_BANDS)."""
         self.flush_session()
-        return np.asarray(self._require_session())
+        return self._fetch_np(self._require_session())
 
     def sync_session(self) -> None:
         """Flush + block until every queued stamp has executed,
