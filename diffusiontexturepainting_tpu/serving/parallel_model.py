@@ -203,7 +203,10 @@ class SessionModel:
         return np.asarray(crop_u8) if return_pixels else None
 
     def fetch_canvas(self) -> np.ndarray:
-        return np.asarray(self._require_session())
+        # banded async download (pipeline/tpu_model.py _fetch_np); the
+        # jitted band-split program follows the session device because
+        # the canvas is committed there
+        return self.service.base._fetch_np(self._require_session())
 
     def end_session(self) -> None:
         self._sess_canvas = None
