@@ -87,6 +87,29 @@ class CLIPVisionConfig:
 
 
 @dataclass(frozen=True)
+class CLIPTextConfig:
+    """CLIP ViT-L/14 text tower (SD-1.5's text encoder).
+
+    The reference builds a TRT engine for it (models.py:943-1009) and
+    exposes encode_prompt (stable_diffusion_pipeline.py:369-405), but its
+    own inpaint serving path never calls either - conditioning comes from
+    the image patch encoder instead (trt_model.py:53-61). Provided for
+    full component parity; see models/clip_text.py.
+    """
+
+    vocab_size: int = 49408
+    max_length: int = 77
+    hidden_size: int = 768
+    intermediate_size: int = 3072
+    num_layers: int = 12
+    num_heads: int = 12
+    layer_norm_eps: float = 1e-5
+    # openai/clip-vit-large-patch14 token ids (SD-1.5 tokenizer):
+    bos_token_id: int = 49406
+    eos_token_id: int = 49407
+
+
+@dataclass(frozen=True)
 class PatchEncoderConfig:
     """ConditionPatchEncoder (reference image_encoder.py:43-115)."""
 

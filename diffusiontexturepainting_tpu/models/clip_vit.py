@@ -17,6 +17,7 @@ CLIP release.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -28,8 +29,25 @@ def quick_gelu(x):
     return x * nn.sigmoid(1.702 * x)
 
 
+def _causal_attention(q, k, v, num_heads: int):
+    """Plain XLA attention with a causal mask (the text tower's 77-token
+    sequences never warrant the Pallas kernels)."""
+    b, l, d = q.shape
+    hd = d // num_heads
+    split = lambda t: t.reshape(b, l, num_heads, hd).transpose(0, 2, 1, 3)
+    qh, kh, vh = split(q), split(k), split(v)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32) * (hd ** -0.5)
+    mask = jnp.triu(jnp.full((l, l), -jnp.inf, jnp.float32), k=1)
+    probs = jax.nn.softmax(scores.astype(jnp.float32) + mask, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), vh,
+                     preferred_element_type=jnp.float32)
+    return out.transpose(0, 2, 1, 3).reshape(b, l, d).astype(q.dtype)
+
+
 class CLIPEncoderLayer(nn.Module):
     cfg: CLIPVisionConfig
+    causal: bool = False  # text tower reuses the layer with a causal mask
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -44,7 +62,10 @@ class CLIPEncoderLayer(nn.Module):
         q = dense("q_proj", cfg.hidden_size)(h)
         k = dense("k_proj", cfg.hidden_size)(h)
         v = dense("v_proj", cfg.hidden_size)(h)
-        a = attention(q, k, v, cfg.num_heads)
+        if self.causal:
+            a = _causal_attention(q, k, v, cfg.num_heads)
+        else:
+            a = attention(q, k, v, cfg.num_heads)
         x = x + dense("out_proj", cfg.hidden_size)(a)
         h = ln("layer_norm2")(x.astype(jnp.float32)).astype(self.dtype)
         h = dense("fc1", cfg.intermediate_size)(h)

@@ -235,6 +235,29 @@ def convert_clip_hf(sd: StateDict, prefix: str = "vision_model",
     return out
 
 
+def convert_clip_text(sd: StateDict, prefix: str = "text_model",
+                      num_layers: int = 12) -> dict:
+    """HF CLIPTextModel (SD's `text_encoder` subfolder, reference
+    models.py:944-947) -> our CLIPTextEncoder tree."""
+    out: dict = {}
+    _set(out, "token_embedding",
+         sd[f"{prefix}.embeddings.token_embedding.weight"])
+    _set(out, "position_embedding",
+         sd[f"{prefix}.embeddings.position_embedding.weight"])
+    for i in range(num_layers):
+        lp = f"{prefix}.encoder.layers.{i}"
+        op = f"layer_{i}"
+        _convert_module(sd, f"{lp}.layer_norm1", out, f"{op}/layer_norm1", "norm")
+        _convert_module(sd, f"{lp}.layer_norm2", out, f"{op}/layer_norm2", "norm")
+        for p in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            _convert_module(sd, f"{lp}.self_attn.{p}", out, f"{op}/{p}", "linear")
+        _convert_module(sd, f"{lp}.mlp.fc1", out, f"{op}/fc1", "linear")
+        _convert_module(sd, f"{lp}.mlp.fc2", out, f"{op}/fc2", "linear")
+    _convert_module(sd, f"{prefix}.final_layer_norm", out,
+                    "final_layer_norm", "norm")
+    return out
+
+
 def convert_clip_openai(sd: StateDict, prefix: str = "clip.visual",
                         num_layers: int = 12) -> dict:
     """OpenAI clip visual tower (as stored inside image_encoder.pth) ->
