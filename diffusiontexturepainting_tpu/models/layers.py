@@ -737,12 +737,16 @@ class Transformer2D(nn.Module):
                                          h * w, 1e-6)
             k, kb = _Conv1x1Params(c, c, name="proj_in")()
             w00 = k[0, 0]
+            # output directly in the activation dtype (the MXU still
+            # accumulates f32 internally): an f32 result here cost a full
+            # (3,64,64,320) f32 materialization + convert per transformer
+            # (HLO cost table, round 4) and the module path's
+            # nn.Conv(dtype=bf16) rounds identically.
             hidden = jnp.einsum(
                 "bhwc,cd->bhwd",
                 x.astype(dt) * a[:, None, None, :].astype(dt),
-                w00.astype(dt), preferred_element_type=jnp.float32)
-            hidden = (hidden
-                      + (cc @ w00 + kb)[:, None, None, :]).astype(dt)
+                w00.astype(dt))
+            hidden = hidden + (cc @ w00 + kb)[:, None, None, :].astype(dt)
         else:
             hidden = GroupNorm32(self.num_groups, eps=1e-6, name="norm")(x)
             hidden = nn.Conv(c, (1, 1), dtype=self.dtype,

@@ -211,8 +211,9 @@ def fused_encode(params, images, cfg: VAEConfig = VAEConfig(),
 
     p = params
     g = cfg.norm_num_groups
-    h = _conv_in_im2col(images, p["conv_in"], dtype)
-    stats = stats_of(h)
+    with jax.named_scope("enc_stem"):
+        h = _conv_in_im2col(images, p["conv_in"], dtype)
+        stats = stats_of(h)
     n_levels = len(cfg.block_out_channels)
     cur_w = 0  # 0 = plain layout; else the wpadded interior width
     for i, ch in enumerate(cfg.block_out_channels):
@@ -235,15 +236,17 @@ def fused_encode(params, images, cfg: VAEConfig = VAEConfig(),
             # cols [1, w+2) already carry the (0,1) right pad, and the
             # row pad fuses into the conv op - no pad pass either way.
             dp = p[f"down_{i}_downsample"]["conv"]
-            hp = h[:, :, 1:w_int + 2, :] if cur_w else h
-            h = _conv(hp, dp, dtype, strides=(2, 2),
-                      padding=((0, 1), (0, 0) if cur_w else (0, 1)))
-            stats = stats_of(h)
+            with jax.named_scope(f"down_{i}_downsample"):
+                hp = h[:, :, 1:w_int + 2, :] if cur_w else h
+                h = _conv(hp, dp, dtype, strides=(2, 2),
+                          padding=((0, 1), (0, 0) if cur_w else (0, 1)))
+                stats = stats_of(h)
             cur_w = 0
     h, stats = _fused_mid(p["mid"], h, stats, g, dtype)
-    h = _fused_norm_silu_conv(p["conv_norm_out"], p["conv_out"], h, stats, g,
-                              dtype)
-    h = _dense1x1(h, p["quant_conv"], dtype)
+    with jax.named_scope("enc_head"):
+        h = _fused_norm_silu_conv(p["conv_norm_out"], p["conv_out"], h,
+                                  stats, g, dtype)
+        h = _dense1x1(h, p["quant_conv"], dtype)
     return h.astype(jnp.float32)
 
 

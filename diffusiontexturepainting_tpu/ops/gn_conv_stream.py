@@ -55,7 +55,33 @@ from jax.experimental.pallas import tpu as pltpu
 
 _STATS_ROWS = 8  # f32 tile sublane minimum; rows 0/1 = sum/sumsq, rest zero
 
+# Tap-arrangement experiment - measured NEUTRAL, kept measurable
+# (tools/bench_stream_tapcat.py, v5e 2026-08-20): "cat" collapses the 9
+# K=Cin tap dots into 3 K=3*Cin dots against a channel-concatenated
+# shifted window (6 of 8 f32 accumulator adds move into the MXU's
+# internal accumulation, tap reads tile-aligned). A/B at the 5 hot
+# enc/dec shapes: cat 57.0/46.4/73.4/54.8/80.4 TF/s vs reps
+# 56.1/47.0/75.1/51.4/79.9 - within +/-2% everywhere, so the per-tap
+# relayouts and accumulator adds were ALREADY hidden under the MXU taps.
+# The same run decomposed the kernel: the GN/SiLU prologue is 15-18% of
+# kernel time at Cin 128 and the rest of the gap to the MXU floor is the
+# serialized window DMA + epilogue around a ~6 us MXU burst per window
+# (see the tool's no-gn/no-stats/no-res rows).
+_TAP_CAT_DEFAULT = False
+
 _LOG2E = 1.4426950408889634
+
+
+# SiLU formulation switch for the prologue: "exp2" =
+# x / (1 + exp2(-x*log2e)), "tanh" = 0.5*x*(1 + tanh(x/2)) - the same
+# function, trading the VPU divide for a multiply-add around the
+# transcendental. Measured NEUTRAL-to-slightly-worse on v5e
+# (down_0 2.744 vs 2.755 ms, up_3 1.660 vs 1.675, down_1 2.092 vs
+# 2.116; 2026-08-20), so exp2 ships. The prologue decomposition that
+# motivated the A/B (tools/bench_stream_tapcat.py): of the ~3.9 us
+# per-window prologue at Cin=128/W=512, ~2.4 us is the SiLU
+# transcendental+divide and ~1.5 us the affine + in-place VMEM rewrite.
+_SILU_IMPL = "exp2"
 
 
 def _silu_same_dtype(x):
@@ -64,6 +90,10 @@ def _silu_same_dtype(x):
     f32 scalar into a bf16 vector, which fails MLIR verification. exp2
     with a folded log2(e) constant also runs at the packed-bf16 VPU rate
     (one transcendental, no separate exp lowering)."""
+    if _SILU_IMPL == "tanh":
+        half = jnp.asarray(0.5, x.dtype)
+        return half * x * (jnp.asarray(1, x.dtype)
+                           + jnp.tanh(x * half))
     e = jnp.exp2(x * jnp.asarray(-_LOG2E, x.dtype))
     return x / (jnp.asarray(1, x.dtype) + e)
 
@@ -143,7 +173,9 @@ def _prologue_rows(Wp: int, Cin: int, itemsize: int = 2,
 def _kernel(x_hbm, a_ref, c_ref, w_ref, b_ref, *rest,
             H, W, H_T, Wp, Cin, N_T, has_res, want_stats, apply_gn,
             in_wpad=False, out_wpad=False, res_wpad=False,
-            shift_reps=False):
+            tap_mode="plain"):
+    shift_reps = tap_mode == "reps"
+    tap_cat = tap_mode == "cat"
     rest = list(rest)
     res_ref = rest.pop(0) if has_res else None
     out_ref = rest.pop(0)
@@ -152,6 +184,7 @@ def _kernel(x_hbm, a_ref, c_ref, w_ref, b_ref, *rest,
     sem = rest.pop(0)
     st_acc = rest.pop(0) if want_stats else None
     xrep = rest.pop(0) if shift_reps else None
+    xcat = rest.pop(0) if tap_cat else None
     assert not rest, "unconsumed kernel operands"
 
     bb = pl.program_id(0)
@@ -295,16 +328,39 @@ def _kernel(x_hbm, a_ref, c_ref, w_ref, b_ref, *rest,
             xrep[0, :, :Wp - 1, :] = xwin[slot, :, 1:, :]
             xrep[1, :, :Wp - 2, :] = xwin[slot, :, 2:, :]
 
-    acc = None
-    for k in range(9):
-        di, dj = divmod(k, 3)
-        if shift_reps and dj:
-            slab = xrep[dj - 1, pl.ds(di, H_T), pl.ds(0, W), :]
-        else:
-            slab = xwin[slot, pl.ds(di, H_T), pl.ds(dj, W), :]
-        d = jnp.dot(slab.reshape(H_T * W, Cin), w_ref[k],
-                    preferred_element_type=jnp.float32)
-        acc = d if acc is None else acc + d
+    if tap_cat:
+        # Channel-concatenated shifted window, built ONCE per row window:
+        # xcat[r, j, s*Cin:(s+1)*Cin] = normalized window[r, j+s, :].
+        # The three dj tap columns of one row group then sit contiguous
+        # on the LANE axis, so the 9 K=Cin tap dots collapse to 3 K=3*Cin
+        # dots (w_ref comes in as (3, 3*Cin, N_T): w.reshape(3, 3Cin, N)
+        # puts tap (di, dj) at w_cat[di, dj*Cin:(dj+1)*Cin]) - 6 of the 8
+        # f32 accumulator adds move INTO the MXU's internal accumulation
+        # and the per-tap sublane-offset relayouts disappear (the row
+        # slice xcat[di:di+H_T] indexes the untiled leading dim - free).
+        @pl.when(first_n)
+        def _build_cat():
+            for s in range(3):
+                xcat[:, :, s * Cin:(s + 1) * Cin] = \
+                    xwin[slot, :, s:s + W, :]
+
+        acc = None
+        for di in range(3):
+            slab = xcat[pl.ds(di, H_T), :, :]
+            d = jnp.dot(slab.reshape(H_T * W, 3 * Cin), w_ref[di],
+                        preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+    else:
+        acc = None
+        for k in range(9):
+            di, dj = divmod(k, 3)
+            if shift_reps and dj:
+                slab = xrep[dj - 1, pl.ds(di, H_T), pl.ds(0, W), :]
+            else:
+                slab = xwin[slot, pl.ds(di, H_T), pl.ds(dj, W), :]
+            d = jnp.dot(slab.reshape(H_T * W, Cin), w_ref[k],
+                        preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
     y = acc + b_ref[0].astype(jnp.float32)[None]
     # Epilogue in the ACTIVATION dtype, exactly like the module path:
     # the conv output rounds to bf16 FIRST (= the module conv's bf16
@@ -415,7 +471,7 @@ def stream_fused_plan(x_shape, w_shape, itemsize: int = 2):
 
 def _stream_fused_pallas(x, a, c, w, b, residual, want_stats, apply_gn,
                          plan, interpret=False, in_w=0, out_wpad=False,
-                         res_wpad=False, shift_reps=None):
+                         res_wpad=False, tap_mode=None):
     if in_w:
         B, H, Wp_in, Cin = x.shape
         W = in_w
@@ -430,40 +486,56 @@ def _stream_fused_pallas(x, a, c, w, b, residual, want_stats, apply_gn,
         xp = x  # already width-padded; the kernel clamps the row halo
     else:
         xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + wpad), (0, 0)))
-    w9 = w.reshape(9, Cin, Cout)
     b2 = (b if b is not None else jnp.zeros((Cout,), x.dtype)).reshape(1, Cout)
     a2 = (a.astype(jnp.float32) if a is not None else
           jnp.zeros((B, Cin), jnp.float32)).reshape(B, 1, Cin)
     c2 = (c.astype(jnp.float32) if c is not None else
           jnp.zeros((B, Cin), jnp.float32)).reshape(B, 1, Cin)
 
-    if shift_reps is None:
-        # auto: build the column-shifted replicas whenever their two
-        # extra window-sized buffers keep the total inside the plan's
-        # VMEM budget (same accounting as stream_fused_plan)
-        win = (H_T + 2) * Wp * Cin * x.dtype.itemsize
-        used = _plan_vmem_bytes(H_T, N_T, Wp, W, Cin,
-                                x.dtype.itemsize)
-        shift_reps = used + 2 * win <= _VMEM_BUDGET
+    if tap_mode is None:
+        # auto: prefer the channel-concatenated shifted window (3 wide
+        # K=3*Cin tap dots, MXU-internal accumulation), then the two
+        # column-shifted replicas, then plain offset reads - first whose
+        # extra buffers keep the total inside the plan's VMEM budget
+        # (same accounting as stream_fused_plan).
+        it = x.dtype.itemsize
+        win = (H_T + 2) * Wp * Cin * it
+        used = _plan_vmem_bytes(H_T, N_T, Wp, W, Cin, it)
+        cat = (H_T + 2) * W * 3 * Cin * it
+        if used + cat <= _VMEM_BUDGET and _TAP_CAT_DEFAULT:
+            tap_mode = "cat"
+        elif used + 2 * win <= _VMEM_BUDGET:
+            tap_mode = "reps"
+        else:
+            tap_mode = "plain"
 
     kernel = functools.partial(
         _kernel, H=H, W=W, H_T=H_T, Wp=Wp, Cin=Cin, N_T=N_T,
         has_res=residual is not None, want_stats=want_stats,
         apply_gn=apply_gn, in_wpad=bool(in_w), out_wpad=out_wpad,
-        res_wpad=res_wpad, shift_reps=shift_reps)
+        res_wpad=res_wpad, tap_mode=tap_mode)
 
+    if tap_mode == "cat":
+        # (kh, kw, Cin, Cout) -> (3, 3*Cin, Cout): row group di's three
+        # dj taps contiguous on the contraction axis (matches xcat).
+        wk = w.reshape(3, 3 * Cin, Cout)
+        wspec = pl.BlockSpec((3, 3 * Cin, N_T), lambda bb, h, n: (0, 0, n),
+                             memory_space=pltpu.VMEM)
+    else:
+        wk = w.reshape(9, Cin, Cout)
+        wspec = pl.BlockSpec((9, Cin, N_T), lambda bb, h, n: (0, 0, n),
+                             memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
         pl.BlockSpec((1, 1, Cin), lambda bb, h, n: (bb, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, Cin), lambda bb, h, n: (bb, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((9, Cin, N_T), lambda bb, h, n: (0, 0, n),
-                     memory_space=pltpu.VMEM),
+        wspec,
         pl.BlockSpec((1, N_T), lambda bb, h, n: (0, n),
                      memory_space=pltpu.VMEM),
     ]
-    args = [xp, a2, c2, w9, b2]
+    args = [xp, a2, c2, wk, b2]
     if residual is not None:
         rw = Wp if res_wpad else W
         in_specs.append(pl.BlockSpec((1, H_T, rw, N_T),
@@ -489,8 +561,10 @@ def _stream_fused_pallas(x, a, c, w, b, residual, want_stats, apply_gn,
     if want_stats:
         scratch.append(
             pltpu.VMEM((Cout // N_T, _STATS_ROWS, N_T), jnp.float32))
-    if shift_reps:
+    if tap_mode == "reps":
         scratch.append(pltpu.VMEM((2, H_T + 2, Wp, Cin), x.dtype))
+    elif tap_mode == "cat":
+        scratch.append(pltpu.VMEM((H_T + 2, W, 3 * Cin), x.dtype))
 
     flops = 2 * B * H * W * Cin * Cout * 9
     out = pl.pallas_call(
@@ -504,7 +578,7 @@ def _stream_fused_pallas(x, a, c, w, b, residual, want_stats, apply_gn,
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=(xp.size + w9.size + 2 * B * H * W * Cout)
+            bytes_accessed=(xp.size + wk.size + 2 * B * H * W * Cout)
             * x.dtype.itemsize,
             transcendentals=B * (H + 2) * Wp * Cin,
         ),

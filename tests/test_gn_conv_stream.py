@@ -63,6 +63,35 @@ def test_kernel_no_gn_prologue():
                                atol=1e-2, rtol=1e-3)
 
 
+@pytest.mark.parametrize("tap_mode", ["plain", "reps", "cat"])
+def test_kernel_tap_modes_match(tap_mode):
+    """All three tap arrangements (per-tap offset reads, column-shifted
+    replicas, channel-concatenated K=3*Cin dots) compute the same conv."""
+    from diffusiontexturepainting_tpu.ops.gn_conv_stream import (
+        _stream_fused_pallas,
+        stream_fused_plan,
+    )
+
+    B, H, W, Cin, Cout = 2, 16, 24, 128, 128
+    x = _rand((B, H, W, Cin), 0)
+    a = _rand((B, Cin), 1, 0.2) + 1.0
+    c = _rand((B, Cin), 2, 0.2)
+    w = _rand((3, 3, Cin, Cout), 3, 0.05)
+    b = _rand((Cout,), 4)
+    r = _rand((B, H, W, Cout), 5)
+    plan = stream_fused_plan(x.shape, w.shape, 4)
+    assert plan is not None
+    ref_out, ref_st = gn_conv_stream(x, a, c, w, b, r, True, True, "xla")
+    out, st = _stream_fused_pallas(x, a, c, w, b, r, True, True, plan,
+                                   interpret=jax.default_backend() != "tpu",
+                                   tap_mode=tap_mode)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(st[:, :2]),
+                               np.asarray(ref_st[:, :2]),
+                               atol=1e-2, rtol=1e-3)
+
+
 def test_affine_from_stats_matches_groupnorm():
     """x*a + c with (a, c) from chained stats == GroupNorm32(x)*scale+bias."""
     from diffusiontexturepainting_tpu.models.layers import GroupNorm32
