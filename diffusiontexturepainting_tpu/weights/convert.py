@@ -385,6 +385,11 @@ def main(argv=None):
     ap.add_argument("--vae", help="diffusers AutoencoderKL state_dict file")
     ap.add_argument("--lora", help="pytorch_lora_weights.bin")
     ap.add_argument("--image-encoder", help="image_encoder.pth")
+    ap.add_argument("--text-encoder",
+                    help="HF CLIPTextModel state_dict file (SD's "
+                         "text_encoder subfolder; optional - unused by "
+                         "the inpaint serving path, reference "
+                         "trt_model.py:53-61)")
     ap.add_argument("--lora-scale", type=float, default=1.0)
     ap.add_argument("--out", required=True, help="output checkpoint dir")
     args = ap.parse_args(argv)
@@ -407,6 +412,9 @@ def main(argv=None):
     if args.image_encoder:
         save_component(os.path.join(args.out, "patch_encoder.npz"),
                        convert_patch_encoder(load_state_dict(args.image_encoder)))
+    if args.text_encoder:
+        save_component(os.path.join(args.out, "text_encoder.npz"),
+                       convert_clip_text(load_state_dict(args.text_encoder)))
     print(f"wrote checkpoint components to {args.out}")
 
 

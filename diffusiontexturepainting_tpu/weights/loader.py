@@ -79,6 +79,20 @@ def _validate(name, loaded, reference):
                 f"{name}:{k} shape {v.shape} != expected {ref_flat[k].shape}")
 
 
+def load_text_encoder(checkpoint_dir: str):
+    """Optional CLIP text tower (text_encoder.npz, written by
+    weights/convert.py --text-encoder). Returns the param tree or None -
+    the inpaint serving path never needs it (conditioning is the image
+    patch encoder, reference trt_model.py:53-61); text-conditioned
+    deployments pair it with models/clip_text.py encode_prompt."""
+    path = os.path.join(checkpoint_dir, "text_encoder.npz")
+    if not os.path.exists(path):
+        return None
+    params = load_component(path)
+    logger.info("loaded text_encoder from %s", path)
+    return params
+
+
 def load_pipeline_params(checkpoint_dir: str, unet, vae_encoder, vae_decoder,
                          patch_encoder, validate: bool = True):
     """Load all components; falls back to seeded random init for any

@@ -97,6 +97,38 @@ def test_encode_prompt_semantics():
     np.testing.assert_array_equal(np.asarray(emb[0]), np.asarray(uncond[0]))
 
 
+def test_text_encoder_checkpoint_roundtrip(tmp_path):
+    """convert -> text_encoder.npz -> load_text_encoder reproduces the
+    torch tower's output (the --text-encoder CLI path)."""
+    from transformers import CLIPTextModel
+
+    from diffusiontexturepainting_tpu.weights.loader import (
+        load_text_encoder,
+        save_component,
+    )
+
+    hf_cfg = _hf_text_config(True)
+    torch.manual_seed(1)
+    hf = CLIPTextModel(hf_cfg).eval()
+    cfg = _ours_from_hf(hf_cfg)
+    tree = convert_clip_text(
+        {k: v.detach().cpu().numpy() for k, v in hf.state_dict().items()},
+        num_layers=cfg.num_layers)
+    save_component(str(tmp_path / "text_encoder.npz"), tree)
+    loaded = load_text_encoder(str(tmp_path))
+    assert loaded is not None
+    assert load_text_encoder(str(tmp_path / "nope")) is None
+
+    ids = np.arange(2 * cfg.max_length).reshape(2, -1) % hf_cfg.vocab_size
+    with torch.no_grad():
+        ref = hf(input_ids=torch.from_numpy(ids).long()
+                 ).last_hidden_state.numpy()
+    out = CLIPTextEncoder(cfg).apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, loaded)},
+        jnp.asarray(ids.astype(np.int32)))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=3e-4, rtol=3e-4)
+
+
 def test_encode_prompt_string_requires_tokenizer_dir():
     cfg = _ours_from_hf(_hf_text_config(True))
     model = CLIPTextEncoder(cfg)
