@@ -95,7 +95,8 @@ def create_server(model=None, resolution: int = 256, debug_dir: str | None = Non
                   profile_dir: str | None = None,
                   mesh: str | None = None,
                   batch_window_ms: float = 3.0,
-                  session_canvas: str | None = None):
+                  session_canvas: str | None = None,
+                  f32_components=None):
     """Create the Tornado application around an inpainter model.
 
     mesh: e.g. "data=8" - serve concurrent sessions through a
@@ -146,10 +147,26 @@ def create_server(model=None, resolution: int = 256, debug_dir: str | None = Non
                 cfg_kwargs["scheduler"] = scheduler
             if deep_cache_interval is not None:
                 cfg_kwargs["deep_cache_interval"] = deep_cache_interval
+            overrides = None
+            if f32_components:
+                # fidelity-critical deployments: compute the named
+                # components in f32 (the bf16 tail at few-step/512px is
+                # the UNet - README bf16-fidelity bisect; f32 UNet costs
+                # ~2x its device time and drops off the Pallas kernels)
+                import jax.numpy as jnp
+                allowed = {"unet", "vae_encoder", "vae_decoder",
+                           "patch_encoder"}
+                bad = set(f32_components) - allowed
+                if bad:
+                    raise ValueError(
+                        f"unknown --f32-components {sorted(bad)}; "
+                        f"choose from {sorted(allowed)}")
+                overrides = {c: jnp.float32 for c in f32_components}
             model = TPUConditionalInpainter(
                 resolution, warmup=warmup, checkpoint_dir=checkpoint_dir,
                 config=PipelineConfig(**cfg_kwargs) if cfg_kwargs else None,
-                warmup_points=warmup_points)
+                warmup_points=warmup_points,
+                dtype_overrides=overrides)
             model_info = ("tpu-sd15-inpaint"
                           + ("" if checkpoint_dir else " (random weights)"))
     else:
@@ -203,6 +220,13 @@ def run_main(argv=None):
                              "(width x height)")
     parser.add_argument("--batch-window-ms", type=float, default=3.0,
                         help="micro-batch collection window for --mesh")
+    parser.add_argument("--f32-components", type=str, default=None,
+                        help="comma list of components to compute in f32 "
+                             "for fidelity-critical serving, e.g. 'unet' "
+                             "(keys: unet, vae_encoder, vae_decoder, "
+                             "patch_encoder; the bf16 512px few-step "
+                             "pixel tail is the UNet - see README). "
+                             "Costs ~2x that component's device time")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="diagnostic only: adds per-request latency and "
                              "disk per trace; auto-disables after 32 traces. "
@@ -226,7 +250,9 @@ def run_main(argv=None):
                         profile_dir=args.profile_dir,
                         mesh=args.mesh,
                         batch_window_ms=args.batch_window_ms,
-                        session_canvas=args.session_canvas)
+                        session_canvas=args.session_canvas,
+                        f32_components=(args.f32_components.split(",")
+                                        if args.f32_components else None))
     app.listen(args.port)
     logger.info("Serving on ws://0.0.0.0:%d/websocket/", args.port)
     tornado.ioloop.IOLoop.current().start()

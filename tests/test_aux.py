@@ -104,3 +104,27 @@ def test_reload_params_hot_swap(tmp_path):
     canvas[:8, :, 3] = 1.0
     out = model.generate(canvas, steps=2)
     assert out.shape == (64, 64, 3)
+
+
+def test_f32_components_serving_flag(tmp_path):
+    """--f32-components: unknown names rejected before model build;
+    a valid override computes that component in f32 and still serves
+    (the fidelity-critical deployment path, README bf16-tail bisect)."""
+    import jax.numpy as jnp
+
+    from diffusiontexturepainting_tpu.pipeline.tpu_model import (
+        TPUConditionalInpainter)
+    from diffusiontexturepainting_tpu.serving.run import create_server
+
+    with pytest.raises(ValueError, match="unknown --f32-components"):
+        create_server(resolution=64, warmup=False,
+                      f32_components=["bogus"])
+
+    model = TPUConditionalInpainter(resolution=64, tiny=True, warmup=False,
+                                    verbose_timing=False,
+                                    dtype_overrides={"unet": jnp.float32})
+    assert model.unet.dtype == jnp.float32
+    canvas = np.zeros((64, 64, 4), np.float32)
+    canvas[:8, :, 3] = 1.0
+    out = model.generate(canvas, steps=2)
+    assert out.shape == (64, 64, 3)
