@@ -139,7 +139,11 @@ def main():
     t0 = time.time()
     from diffusiontexturepainting_tpu.core.config import PipelineConfig
 
-    config = (PipelineConfig(deep_cache_interval=args.deep_cache_interval)
+    # deep_cache_min_steps must not gate the benchmarked operating point
+    # off: the default config only engages the cache at >=8 steps, but the
+    # headline 4-step point is exactly where the <100 ms target needs it.
+    config = (PipelineConfig(deep_cache_interval=args.deep_cache_interval,
+                             deep_cache_min_steps=min(8, args.steps))
               if args.deep_cache_interval > 1 else None)
     print(f"[{time.time() - t0:.1f}s] building model (warmup compiles the "
           f"{args.resolution}px/{args.steps}-step stamp program; cold-cache "

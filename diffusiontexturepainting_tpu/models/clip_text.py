@@ -19,6 +19,7 @@ folder, loaded through `transformers.CLIPTokenizer`).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import jax.numpy as jnp
@@ -69,12 +70,20 @@ def tokenize(prompts: Sequence[str], tokenizer_dir: str,
     (the SD checkpoint's `tokenizer/`). Mirrors the reference's
     tokenizer(..., padding='max_length', truncation=True)
     (stable_diffusion_pipeline.py:375-381)."""
-    from transformers import CLIPTokenizer
-
-    tk = CLIPTokenizer.from_pretrained(tokenizer_dir)
+    tk = _get_tokenizer(tokenizer_dir)
     enc = tk(list(prompts), padding="max_length", max_length=max_length,
              truncation=True, return_tensors="np")
     return enc["input_ids"].astype(np.int32)
+
+
+@functools.lru_cache(maxsize=4)
+def _get_tokenizer(tokenizer_dir: str):
+    """Tokenizer per directory, loaded once: encode_prompt tokenizes both
+    the prompt and the negative prompt, and a per-call from_pretrained
+    would hit the disk twice per request."""
+    from transformers import CLIPTokenizer
+
+    return CLIPTokenizer.from_pretrained(tokenizer_dir)
 
 
 def encode_prompt(apply_fn, params, prompt, negative_prompt,
@@ -100,4 +109,14 @@ def encode_prompt(apply_fn, params, prompt, negative_prompt,
 
     cond = apply_fn(params, ids_of(prompt))
     uncond = apply_fn(params, ids_of(negative_prompt))
+    if uncond.shape[0] != cond.shape[0]:
+        # the common CFG call shape: a batch of prompts with ONE negative
+        # prompt - the reference tokenizes both to the same batch
+        # (stable_diffusion_pipeline.py:390-394); tile to match so the
+        # downstream midpoint [uncond, cond] split stays balanced
+        if uncond.shape[0] != 1:
+            raise ValueError(
+                f"negative_prompt batch {uncond.shape[0]} must be 1 or "
+                f"match prompt batch {cond.shape[0]}")
+        uncond = jnp.broadcast_to(uncond, cond.shape)
     return jnp.concatenate([uncond, cond], axis=0).astype(dtype)

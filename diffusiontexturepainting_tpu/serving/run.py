@@ -251,8 +251,10 @@ def run_main(argv=None):
                         mesh=args.mesh,
                         batch_window_ms=args.batch_window_ms,
                         session_canvas=args.session_canvas,
-                        f32_components=(args.f32_components.split(",")
-                                        if args.f32_components else None))
+                        f32_components=(
+                            [s.strip() for s in args.f32_components.split(",")
+                             if s.strip()]
+                            if args.f32_components else None))
     app.listen(args.port)
     logger.info("Serving on ws://0.0.0.0:%d/websocket/", args.port)
     tornado.ioloop.IOLoop.current().start()

@@ -79,16 +79,24 @@ def _validate(name, loaded, reference):
                 f"{name}:{k} shape {v.shape} != expected {ref_flat[k].shape}")
 
 
-def load_text_encoder(checkpoint_dir: str):
+def load_text_encoder(checkpoint_dir: str, reference=None):
     """Optional CLIP text tower (text_encoder.npz, written by
     weights/convert.py --text-encoder). Returns the param tree or None -
     the inpaint serving path never needs it (conditioning is the image
     patch encoder, reference trt_model.py:53-61); text-conditioned
-    deployments pair it with models/clip_text.py encode_prompt."""
+    deployments pair it with models/clip_text.py encode_prompt.
+
+    `reference`: optional expected param tree (e.g. a random init of
+    models/clip_text.py CLIPTextEncoder) - when given, the loaded tree
+    gets the same structure/shape validation every other component gets
+    in load_pipeline_params, so a truncated or wrong-config npz fails
+    here instead of as an opaque shape error at apply time."""
     path = os.path.join(checkpoint_dir, "text_encoder.npz")
     if not os.path.exists(path):
         return None
     params = load_component(path)
+    if reference is not None:
+        _validate("text_encoder", params, reference)
     logger.info("loaded text_encoder from %s", path)
     return params
 

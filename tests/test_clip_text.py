@@ -97,6 +97,31 @@ def test_encode_prompt_semantics():
     np.testing.assert_array_equal(np.asarray(emb[0]), np.asarray(uncond[0]))
 
 
+def test_encode_prompt_broadcasts_single_negative():
+    """A batch of prompts with ONE negative prompt: the uncond half is
+    tiled to the cond batch (the reference tokenizes both to the same
+    batch, stable_diffusion_pipeline.py:390-394) so a downstream midpoint
+    CFG split stays balanced; a 2-vs-3 mismatch is rejected."""
+    cfg = _ours_from_hf(_hf_text_config(True))
+    model = CLIPTextEncoder(cfg)
+    rng = np.random.default_rng(3)
+    L = cfg.max_length
+    cond_ids = rng.integers(0, cfg.vocab_size, (3, L)).astype(np.int32)
+    uncond_ids = rng.integers(0, cfg.vocab_size, (1, L)).astype(np.int32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(cond_ids))
+    apply_fn = lambda p, ids: model.apply(p, ids)
+
+    emb = encode_prompt(apply_fn, params, cond_ids, uncond_ids,
+                        dtype=jnp.float32)
+    assert emb.shape == (6, L, cfg.hidden_size)
+    uncond = np.asarray(apply_fn(params, jnp.asarray(uncond_ids)))
+    for b in range(3):
+        np.testing.assert_array_equal(np.asarray(emb[b]), uncond[0])
+
+    with pytest.raises(ValueError, match="negative_prompt batch"):
+        encode_prompt(apply_fn, params, cond_ids, cond_ids[:2])
+
+
 def test_text_encoder_checkpoint_roundtrip(tmp_path):
     """convert -> text_encoder.npz -> load_text_encoder reproduces the
     torch tower's output (the --text-encoder CLI path)."""
@@ -118,6 +143,17 @@ def test_text_encoder_checkpoint_roundtrip(tmp_path):
     loaded = load_text_encoder(str(tmp_path))
     assert loaded is not None
     assert load_text_encoder(str(tmp_path / "nope")) is None
+
+    # optional structure/shape validation against an expected tree (the
+    # same _validate pass the pipeline components get)
+    expected = CLIPTextEncoder(cfg).init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.max_length), jnp.int32))["params"]
+    assert load_text_encoder(str(tmp_path), reference=expected) is not None
+    bad = dict(expected)
+    bad["bogus_extra"] = np.zeros((1,))
+    with pytest.raises(ValueError, match="checkpoint mismatch"):
+        load_text_encoder(str(tmp_path), reference=bad)
 
     ids = np.arange(2 * cfg.max_length).reshape(2, -1) % hf_cfg.vocab_size
     with torch.no_grad():
