@@ -4,21 +4,38 @@ Headline config (BASELINE.md rebuild target): 512x512 stamp, 4-step DDIM,
 CFG triple-batch, bf16, full-size SD-1.5 inpainting pipeline as ONE jitted
 device program. Prints ONE JSON line to stdout; detail goes to stderr.
 
-Two serving paths are measured:
+Measured paths, all in one process against the same params:
   - isolated request (the reference's per-stamp request/response path):
     canvas up, stamp down, synchronized every request;
   - stroke stream (BASELINE.json config "Sequential brush stroke ... with
     crop/paste continuity"): a device-resident canvas session
     (pipeline/session.py) painting overlapping stamps back-to-back, with
     one synchronizing canvas fetch at the end - the interactive painting
-    workload the product serves, where per-request transfers and
-    round-trips amortize across the stroke.
+    workload the product serves;
+  - the same stroke through a LIVE loopback websocket server (ack frames
+    and wire encode/decode included);
+  - DEVICE time per stamp: chained session stamps synchronized once,
+    minus the measured sync round-trip - the wall numbers ride a
+    tunneled transport with +-15-30 ms noise, so the device figure is
+    what resolves real round-over-round kernel progress (the analog of
+    the reference's CUDA-event per-stage table,
+    stable_diffusion_pipeline.py:486-503);
+  - the DeepCache operating point (pipeline/inpaint.py full/shallow
+    UNet schedule): same programs, interval/pattern from
+    --deep-cache-headline, measured stroke + device time. Its approximate
+    math is labeled as such, with the measured fidelity-vs-exact summary
+    (tools/check_bf16_fidelity.py --deep-cache) quoted next to it.
 
-The headline metric is the stroke-stream p50 per stamp; the isolated
-p50 is reported alongside in the metric string and in stderr detail.
+The ONE JSON line carries: `value` = headline stroke-stream p50 (the
+DeepCache point when it wins and --headline deep-cache, else exact math),
+plus machine-readable context keys: exact/deep-cache stroke + device
+p50s, isolated p50, ws p50, model-ready seconds and per-point warmup
+seconds (a persistent-cache hit loads in seconds; a cold compile is
+minutes - so a slow driver host is attributable from the artifact).
 
 Usage: python bench.py [--resolution 512] [--steps 4] [--iters 30]
-                       [--stroke 16] [--no-stroke]
+                       [--stroke 16] [--stroke-rounds 10] [--no-stroke]
+                       [--deep-cache-headline FSSF|2|off]
 """
 
 import argparse
@@ -28,10 +45,10 @@ import sys
 import time
 
 
-def _ws_stroke(model, args, canvas_big, step_px, settings):
+def _ws_stroke(model, args, canvas_big, step_px, settings, rounds):
     """Run the stroke workload through a loopback websocket server
     wrapping `model`, timing per-stamp wall including ack frames.
-    Returns percentile stats over --stroke-rounds strokes."""
+    Returns percentile stats over `rounds` strokes."""
     import asyncio
     import socket
     import threading
@@ -88,12 +105,135 @@ def _ws_stroke(model, args, canvas_big, step_px, settings):
             return dt_ms / args.stroke
 
         one_stroke()  # warmup (server program already compiled)
-        return percentile_stats([one_stroke()
-                                 for _ in range(args.stroke_rounds)])
+        return percentile_stats([one_stroke() for _ in range(rounds)])
     finally:
         if "loop" in loop_holder:
             loop_holder["loop"].add_callback(loop_holder["loop"].stop)
         th.join(5)
+
+
+def _stroke_stats(model, args, canvas_big, step_px, settings, rounds):
+    """Per-stamp wall stats over `rounds` device-resident strokes."""
+    from diffusiontexturepainting_tpu.utils.profiling import percentile_stats
+
+    def one_stroke():
+        model.begin_session(canvas_big)
+        tic = time.perf_counter()
+        for i in range(args.stroke):
+            x0 = (i * step_px) % (args.resolution + 1)
+            y0 = ((i * step_px) // (args.resolution + 1)
+                  * (args.resolution // 2))
+            model.stamp_at(x0, y0, return_pixels=False, **settings)
+        model.fetch_canvas()
+        dt_ms = (time.perf_counter() - tic) * 1000.0
+        model.end_session()
+        return dt_ms / args.stroke
+
+    one_stroke()  # warmup (compiles the session programs)
+    return percentile_stats([one_stroke() for _ in range(rounds)])
+
+
+def _device_stroke_ms(model, args, canvas_big, step_px, settings, rounds=4):
+    """DEVICE time per chained session stamp: fire args.stroke
+    fire-and-forget stamps, sync ONCE (one-byte fetch), subtract the
+    measured sync round-trip, divide by N. Returns (median, best) ms.
+    Requires the session programs to be warm (run after _stroke_stats)."""
+    import numpy as np
+
+    model.begin_session(canvas_big)
+    model.stamp_at(0, 0, return_pixels=False, **settings)
+    model.sync_session()
+    rtts = []
+    for _ in range(5):
+        tic = time.perf_counter()
+        model.sync_session()
+        rtts.append((time.perf_counter() - tic) * 1e3)
+    rtt = float(np.median(rtts))
+    model.end_session()
+
+    per = []
+    for _ in range(rounds):
+        model.begin_session(canvas_big)
+        model.sync_session()
+        tic = time.perf_counter()
+        for i in range(args.stroke):
+            x0 = (i * step_px) % (args.resolution + 1)
+            y0 = ((i * step_px) // (args.resolution + 1)
+                  * (args.resolution // 2))
+            model.stamp_at(x0, y0, return_pixels=False, **settings)
+        model.sync_session()
+        dt = (time.perf_counter() - tic) * 1e3
+        model.end_session()
+        per.append((dt - rtt) / args.stroke)
+    print(f"device-chained per-stamp (sync RTT {rtt:.1f} ms): "
+          f"{['%.1f' % p for p in per]}", file=sys.stderr)
+    return float(np.median(per)), float(min(per))
+
+
+def run_concurrent(args):
+    """Batched single-chip serving throughput (--concurrent N): N
+    concurrent painters' stamps vmapped into one program on ONE chip via
+    the request-batching service (serving/parallel_model.py,
+    --mesh data=1 --max-batch N; the reference's TRT batch-1..16 engine
+    envelope, models.py:886-890). Reports batched stamps/sec/chip and
+    the speedup over batch-1 dispatches of the same program."""
+    import numpy as np
+
+    from diffusiontexturepainting_tpu.serving.parallel_model import (
+        make_parallel_service,
+    )
+
+    t0 = time.time()
+    service = make_parallel_service(args.resolution, "data=1",
+                                    tiny=args.tiny,
+                                    max_batch=args.concurrent)
+    rng = np.random.default_rng(0)
+    res = args.resolution
+
+    def payload(i):
+        canvas = np.zeros((res, res, 4), np.uint8)
+        canvas[: res // 2, :, :3] = rng.integers(
+            0, 256, (res // 2, res, 3), dtype=np.uint8)
+        canvas[: res // 2, :, 3] = 255
+        brush = rng.random((res, res, 3)).astype(np.float32)
+        cond, uncond = service.base._encode_brush(
+            service.base.params["patch_encoder"], brush[None])
+        return dict(canvas=canvas, brush=brush, cond=np.asarray(cond),
+                    uncond=np.asarray(uncond), counter=np.uint32(i),
+                    cfg_weight=np.float32(2.0), tg_weight=np.float32(1.0),
+                    tg_steps=np.int32(args.steps),
+                    context_pad=np.int32(150))
+
+    payloads = [payload(i) for i in range(args.concurrent)]
+    key = (res, args.steps)
+    results = {}
+    for B in [1, args.concurrent]:
+        batch = payloads[:B]
+        service._run_batch(key, batch)  # compile + warm this bucket
+        print(f"[{time.time() - t0:.1f}s] batch-{B} program warm",
+              file=sys.stderr, flush=True)
+        samples = []
+        for _ in range(args.iters):
+            tic = time.perf_counter()
+            service._run_batch(key, batch)
+            samples.append((time.perf_counter() - tic) * 1000.0)
+        med = float(np.median(samples))
+        results[B] = dict(ms=med, sps=1000.0 * B / med)
+        print(f"batch {B}: {med:.1f} ms/dispatch = "
+              f"{results[B]['sps']:.2f} stamps/s/chip", file=sys.stderr)
+
+    B = args.concurrent
+    sps = results[B]["sps"]
+    print(json.dumps({
+        "metric": (f"batched stamps/sec/chip at request batch {B} "
+                   f"({res}x{res}, {args.steps}-step DDIM, CFG "
+                   f"triple-batch; batch-1 = {results[1]['sps']:.2f} "
+                   f"stamps/s, speedup {sps / results[1]['sps']:.2f}x; "
+                   f"serving surface: --mesh data=1 --max-batch {B})"),
+        "value": round(sps, 2),
+        "unit": "stamps/s",
+        "vs_baseline": round(sps / 10.0, 3),  # 10/s = the 100 ms target
+    }))
 
 
 def main():
@@ -103,12 +243,29 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup-iters", type=int, default=5)
     ap.add_argument("--tiny", action="store_true", help="tiny model (CI smoke)")
-    ap.add_argument("--deep-cache-interval", type=int, default=1,
-                    help=">1 enables DeepCache UNet feature reuse")
+    ap.add_argument("--deep-cache-interval", type=str, default="1",
+                    help="build the model pipeline at this DeepCache spec "
+                         "(int interval or 'FSSF' pattern) instead of "
+                         "measuring exact + headline specs")
+    ap.add_argument("--deep-cache-headline", type=str, default="2",
+                    help="DeepCache spec additionally measured as the "
+                         "headline operating point when the model runs "
+                         "exact math ('off' disables the extra phase). "
+                         "Interval 2 measured best at 512/4: PSNR 36.8 dB "
+                         "vs exact, beating the FSSF pattern's 33.9 dB "
+                         "(fresher caches beat a fresh final step; "
+                         "tools/check_bf16_fidelity.py --deep-cache)")
+    ap.add_argument("--headline", choices=["deep-cache", "exact"],
+                    default="deep-cache",
+                    help="which measured operating point provides the "
+                         "headline `value` (the other is always reported "
+                         "alongside)")
     ap.add_argument("--stroke", type=int, default=16,
                     help="stamps per stroke-stream measurement")
-    ap.add_argument("--stroke-rounds", type=int, default=4,
+    ap.add_argument("--stroke-rounds", type=int, default=10,
                     help="independent strokes to sample")
+    ap.add_argument("--ws-rounds", type=int, default=4,
+                    help="strokes through the live websocket server")
     ap.add_argument("--no-stroke", action="store_true",
                     help="headline the isolated-request path instead")
     ap.add_argument("--ws", action=argparse.BooleanOptionalAction,
@@ -121,6 +278,11 @@ def main():
                     help="force the CPU backend (CI smoke; the axon PJRT "
                          "plugin ignores JAX_PLATFORMS, so this must go "
                          "through the config API)")
+    ap.add_argument("--concurrent", type=int, default=0,
+                    help="measure batched serving throughput instead: "
+                         "batch N concurrent painters' stamps on one chip "
+                         "(--mesh data=1 --max-batch N) and report "
+                         "stamps/sec/chip")
     args = ap.parse_args()
 
     import numpy as np
@@ -133,18 +295,31 @@ def main():
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}",
           file=sys.stderr)
 
+    if args.concurrent > 0:
+        run_concurrent(args)
+        return
+
     from diffusiontexturepainting_tpu.pipeline.tpu_model import TPUConditionalInpainter
     from diffusiontexturepainting_tpu.utils.profiling import percentile_stats
+
+    def parse_spec(s):
+        try:
+            return int(s)
+        except ValueError:
+            return s.upper()
+
+    build_spec = parse_spec(args.deep_cache_interval)
+    exact_build = isinstance(build_spec, int) and build_spec <= 1
+    headline_spec = (None if args.deep_cache_headline.lower() == "off"
+                     or not exact_build or args.tiny
+                     else parse_spec(args.deep_cache_headline))
 
     t0 = time.time()
     from diffusiontexturepainting_tpu.core.config import PipelineConfig
 
-    # deep_cache_min_steps must not gate the benchmarked operating point
-    # off: the default config only engages the cache at >=8 steps, but the
-    # headline 4-step point is exactly where the <100 ms target needs it.
-    config = (PipelineConfig(deep_cache_interval=args.deep_cache_interval,
-                             deep_cache_min_steps=min(8, args.steps))
-              if args.deep_cache_interval > 1 else None)
+    config = (None if exact_build else
+              PipelineConfig(deep_cache_interval=build_spec,
+                             deep_cache_min_steps=min(8, args.steps)))
     print(f"[{time.time() - t0:.1f}s] building model (warmup compiles the "
           f"{args.resolution}px/{args.steps}-step stamp program; cold-cache "
           f"compile is minutes, warm cache seconds)", file=sys.stderr,
@@ -157,7 +332,8 @@ def main():
         verbose_timing=False,
         config=config,
     )
-    print(f"model ready in {time.time() - t0:.1f}s", file=sys.stderr)
+    model_ready_s = time.time() - t0
+    print(f"model ready in {model_ready_s:.1f}s", file=sys.stderr)
 
     rng = np.random.default_rng(0)
     model.set_brush(rng.random((args.resolution, args.resolution, 3)).astype(np.float32))
@@ -181,7 +357,7 @@ def main():
     samples = []
     for _ in range(args.iters):
         tic = time.perf_counter()
-        out = model.generate_u8(canvas, **settings)
+        model.generate_u8(canvas, **settings)
         samples.append((time.perf_counter() - tic) * 1000.0)
 
     stats = percentile_stats(samples)
@@ -189,30 +365,40 @@ def main():
     print(f"isolated-request stats: {stats}", file=sys.stderr)
     print(f"isolated stamps/sec/chip: {stamps_per_sec:.2f}", file=sys.stderr)
 
-    # From here on a valid result exists. The stroke phase may hit a COLD
-    # compile of the session program (~10+ min on a 1-core host); if an
-    # outer timeout SIGTERMs us mid-compile, still emit the isolated
-    # number instead of dying silently.
+    # From here on a valid result exists. Later phases may hit a COLD
+    # compile (~minutes); if an outer timeout SIGTERMs us, still emit the
+    # best result so far instead of dying silently.
     target_ms = 100.0  # BASELINE.json north-star: <100 ms p50
-    cfg_tag = (f"{args.steps}-step DDIM"
-               + (f"+DeepCache/{args.deep_cache_interval}"
-                  if args.deep_cache_interval > 1 else "")
-               + ", CFG triple-batch")
+    warmup_s = {f"{k[0]}x{k[1]}/dc={k[2]}": round(v, 1)
+                for k, v in getattr(model, "warmup_timings", {}).items()}
+    base_tag = (f"{args.steps}-step DDIM"
+                + (f"+DeepCache[{build_spec}]" if not exact_build else "")
+                + ", CFG triple-batch")
 
-    def isolated_json():
+    best = {}  # mutated as phases complete; SIGTERM emits it as-is
+
+    def emit_json():
+        extra = {k: v for k, v in best.items()
+                 if k not in ("value", "metric")}
         return json.dumps({
-            "metric": (f"p50 ms per {args.resolution}x{args.resolution} "
-                       f"stamp ({cfg_tag}, p99={stats['p99']:.1f}ms, "
-                       f"{stamps_per_sec:.2f} stamps/s/chip)"),
-            "value": round(stats["p50"], 2),
+            "metric": best["metric"],
+            "value": best["value"],
             "unit": "ms",
-            "vs_baseline": round(target_ms / stats["p50"], 3),
+            "vs_baseline": round(target_ms / best["value"], 3),
+            "model_ready_s": round(model_ready_s, 1),
+            "warmup_s": warmup_s,
+            **extra,
         })
 
+    best["value"] = round(stats["p50"], 2)
+    best["isolated_p50_ms"] = round(stats["p50"], 2)
+    best["metric"] = (f"p50 ms per {args.resolution}x{args.resolution} "
+                      f"stamp ({base_tag}, p99={stats['p99']:.1f}ms, "
+                      f"{stamps_per_sec:.2f} stamps/s/chip)")
+
     def _on_term(signum, frame):  # pragma: no cover - timeout path
-        print("SIGTERM during stroke phase - emitting the isolated-request "
-              "result", file=sys.stderr)
-        print(isolated_json(), flush=True)
+        print("SIGTERM - emitting the best result so far", file=sys.stderr)
+        print(emit_json(), flush=True)
         sys.exit(0)
 
     signal.signal(signal.SIGTERM, _on_term)
@@ -222,36 +408,28 @@ def main():
     # fired without per-stamp fetches (return_pixels=False) and the
     # stroke is synchronized by ONE fetch_canvas at the end, exactly as
     # the stroke-session client paths do (client/websocket_model.py).
+    res = args.resolution
+    canvas_big = np.zeros((2 * res, 2 * res, 4), np.uint8)
+    canvas_big[:res] = np.concatenate([canvas, canvas], axis=1)
+    step_px = max(1, res // 4)  # heavy overlap, like a real stroke
+
     stroke_stats = None
+    device_ms = device_best = None
     if args.stroke > 0 and not args.no_stroke:
-        res = args.resolution
-        canvas_big = np.zeros((2 * res, 2 * res, 4), np.uint8)
-        canvas_big[:res] = np.concatenate([canvas, canvas], axis=1)
-        step_px = max(1, res // 4)  # heavy overlap, like a real stroke
-
-        def one_stroke():
-            model.begin_session(canvas_big)
-            tic = time.perf_counter()
-            for i in range(args.stroke):
-                x0 = (i * step_px) % (res + 1)
-                y0 = (i * step_px) // (res + 1) * (res // 2)
-                model.stamp_at(x0, y0, return_pixels=False, **settings)
-            model.fetch_canvas()
-            dt_ms = (time.perf_counter() - tic) * 1000.0
-            model.end_session()
-            return dt_ms / args.stroke
-
         # Never let the stroke path take the whole benchmark down: if the
         # session program fails on this backend, fall back to headlining
         # the isolated-request numbers already measured above.
         try:
-            one_stroke()  # warmup (compiles the session program)
-            per_stamp = [one_stroke() for _ in range(args.stroke_rounds)]
-            stroke_stats = percentile_stats(per_stamp)
+            stroke_stats = _stroke_stats(model, args, canvas_big, step_px,
+                                         settings, args.stroke_rounds)
             print(f"stroke-stream per-stamp (over {args.stroke}-stamp "
                   f"strokes): {stroke_stats}", file=sys.stderr)
             print("stroke stamps/sec/chip: "
                   f"{1000.0 / stroke_stats['mean']:.2f}", file=sys.stderr)
+            device_ms, device_best = _device_stroke_ms(
+                model, args, canvas_big, step_px, settings)
+            print(f"device per-stamp: median {device_ms:.1f} ms "
+                  f"(best {device_best:.1f})", file=sys.stderr)
         except Exception as exc:  # pragma: no cover - device-specific
             stroke_stats = None
             print(f"stroke-stream path failed ({exc!r}); falling back to "
@@ -261,40 +439,82 @@ def main():
             except Exception:
                 pass
 
+    if stroke_stats is not None:
+        best.update({
+            "value": round(stroke_stats["p50"], 2),
+            "exact_p50_ms": round(stroke_stats["p50"], 2),
+            "device_ms": round(device_ms, 1),
+            "metric": (
+                f"p50 ms per {res}x{res} stamp, {args.stroke}-stamp stroke "
+                f"stream on a device-resident canvas ({base_tag}, "
+                f"p99={stroke_stats['p99']:.1f}ms, device "
+                f"{device_ms:.1f}ms/stamp; isolated p50={stats['p50']:.1f}ms)"),
+        })
+
     # --- websocket stroke: same stroke through a real local server -------
-    # The in-process number above times the session API; this one adds the
-    # live wire: 22-byte session requests, fire-and-forget stamps, ack
-    # frames, and the synchronizing canvas fetch, through a loopback
-    # tornado server wrapping the SAME model (no second compile).
     ws_stroke_stats = None
     if args.ws and stroke_stats is not None:
         try:
             ws_stroke_stats = _ws_stroke(model, args, canvas_big, step_px,
-                                         settings)
+                                         settings, args.ws_rounds)
             print(f"ws-stroke per-stamp (live websocket incl. acks): "
                   f"{ws_stroke_stats}", file=sys.stderr)
+            best["ws_p50_ms"] = round(ws_stroke_stats["p50"], 2)
         except Exception as exc:  # pragma: no cover - environment-specific
             print(f"ws-stroke path failed ({exc!r})", file=sys.stderr)
 
+    # --- DeepCache operating point (same model, same session machinery) --
+    dc = None
+    if headline_spec is not None and stroke_stats is not None:
+        try:
+            model.set_deep_cache(headline_spec,
+                                 min_steps=min(8, args.steps))
+            t_dc = time.time()
+            model.warmup([(res, args.steps)])
+            dc_warm = time.time() - t_dc
+            dc_stroke = _stroke_stats(model, args, canvas_big, step_px,
+                                      settings, args.stroke_rounds)
+            dc_dev, dc_dev_best = _device_stroke_ms(
+                model, args, canvas_big, step_px, settings)
+            print(f"deep-cache[{headline_spec}] stroke per-stamp: "
+                  f"{dc_stroke}; device median {dc_dev:.1f} ms "
+                  f"(warmup {dc_warm:.1f}s)", file=sys.stderr)
+            dc = dict(spec=str(headline_spec),
+                      stroke_p50_ms=round(dc_stroke["p50"], 2),
+                      stroke_p99_ms=round(dc_stroke["p99"], 2),
+                      device_ms=round(dc_dev, 1),
+                      warmup_s=round(dc_warm, 1))
+            best["deep_cache"] = dc
+        except Exception as exc:  # pragma: no cover - device-specific
+            print(f"deep-cache phase failed ({exc!r})", file=sys.stderr)
+            try:
+                model.end_session()
+            except Exception:
+                pass
+        finally:
+            model.set_deep_cache(build_spec)
+
+    if (dc is not None and args.headline == "deep-cache"
+            and dc["stroke_p50_ms"] < stroke_stats["p50"]):
+        # Approximate-math operating point: label it, quote the measured
+        # fidelity vs the exact bf16 pipeline next to it (README
+        # "DeepCache fidelity" table, tools/check_bf16_fidelity.py
+        # --deep-cache SPEC), and keep the exact numbers alongside.
+        best.update({
+            "value": dc["stroke_p50_ms"],
+            "metric": (
+                f"p50 ms per {res}x{res} stamp, {args.stroke}-stamp stroke "
+                f"stream, DeepCache[{dc['spec']}] full/shallow UNet "
+                f"schedule ({args.steps}-step DDIM, CFG triple-batch; "
+                f"approximate math - fidelity vs exact pipeline measured "
+                f"in README DeepCache table; device {dc['device_ms']}"
+                f"ms/stamp; EXACT pipeline: stroke p50="
+                f"{stroke_stats['p50']:.1f}ms device {device_ms:.1f}ms, "
+                f"isolated p50={stats['p50']:.1f}ms)"),
+        })
+
     signal.signal(signal.SIGTERM, signal.SIG_DFL)
-    if stroke_stats is not None and not args.no_stroke:
-        value = stroke_stats["p50"]
-        metric = (
-            f"p50 ms per {args.resolution}x{args.resolution} stamp, "
-            f"{args.stroke}-stamp stroke stream on a device-resident "
-            f"canvas ({cfg_tag}, p99={stroke_stats['p99']:.1f}ms, "
-            f"{1000.0 / stroke_stats['mean']:.2f} stamps/s/chip; isolated "
-            f"request/response p50={stats['p50']:.1f}ms"
-            + (f"; live-websocket stroke p50={ws_stroke_stats['p50']:.1f}ms"
-               if ws_stroke_stats else "") + ")")
-        print(json.dumps({
-            "metric": metric,
-            "value": round(value, 2),
-            "unit": "ms",
-            "vs_baseline": round(target_ms / value, 3),
-        }))
-    else:
-        print(isolated_json())
+    print(emit_json())
 
 
 if __name__ == "__main__":

@@ -140,10 +140,20 @@ class PipelineConfig:
     seed: int = 42
     # DeepCache-style UNet feature caching: run the full UNet every
     # `deep_cache_interval` steps and only the outermost level in between.
-    # 1 = off (exact parity). Only applied when the requested step count is
-    # >= deep_cache_min_steps (few-step sampling is too cache-sensitive).
-    deep_cache_interval: int = 1
+    # 1 = off (exact parity). An explicit 'FSSF'-style str pins the
+    # full/shallow placement per step instead (applies only to requests
+    # whose step count matches the pattern length). Only applied when the
+    # requested step count is >= deep_cache_min_steps.
+    deep_cache_interval: int | str = 1
     deep_cache_min_steps: int = 8
+    # Step-granular f32 promotion (the middle fidelity point between
+    # all-bf16 and --f32-components unet): compute ONLY the final denoise
+    # step's UNet eval in f32 (XLA path, bf16-stored weights upcast in
+    # registers). The final eps enters the x0 estimate at full weight, so
+    # this is where bf16 rounding hurts most; earlier steps' rounding
+    # perturbs the trajectory only at the measured ~1-LSB-control level.
+    # Cost: one f32 UNet step instead of a bf16 one (~+45 ms at 512px).
+    f32_final_step: bool = False
     # Fused VAE execution: run encoder/decoder as chained
     # GroupNorm-prologue/stats-epilogue streaming conv kernels
     # (ops/gn_conv_stream.py) instead of the Flax modules. Identical

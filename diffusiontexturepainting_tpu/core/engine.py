@@ -36,6 +36,14 @@ logger = logging.getLogger(__name__)
 _cache_initialized = False
 
 
+def _interval_key(deep_cache_interval):
+    """Engine-dict key for a DeepCache spec: int interval or an explicit
+    'FSSF' pattern string (pipeline/inpaint.py _cache_flags)."""
+    if isinstance(deep_cache_interval, int):
+        return int(deep_cache_interval)
+    return str(deep_cache_interval).upper()
+
+
 def default_cache_dir() -> str:
     """Cache location, in priority order: $DTP_XLA_CACHE_DIR, then a
     repo-local `.cache/xla` (survives environments with an ephemeral
@@ -95,9 +103,13 @@ class Engine:
 
     def __init__(self, models: StampModels, scheduler_name: str = "DDIM",
                  persistent_cache: bool = True,
-                 safe_models: StampModels | None = None):
+                 safe_models: StampModels | None = None,
+                 final_step_f32: bool = False):
         self.models = models
         self.scheduler_name = scheduler_name
+        # f32-compute final denoise step (config.f32_final_step): baked
+        # into every program this engine builds
+        self.final_step_f32 = final_step_f32
         # safe_models: same weights/pytree, fused pallas paths disabled
         # at the module level; used to rebuild an operating point whose
         # pallas plans blow the scoped-VMEM budget at compile time.
@@ -149,34 +161,38 @@ class Engine:
         return call
 
     def stamp_fn(self, resolution: int, steps: int,
-                 deep_cache_interval: int = 1):
-        key = (int(resolution), int(steps), int(deep_cache_interval))
+                 deep_cache_interval=1):
+        key = (int(resolution), int(steps), _interval_key(deep_cache_interval))
         if key not in self._stamp:
             fn = make_stamp_fn(self.models, self.scheduler_name, key[1],
-                               deep_cache_interval=key[2])
+                               deep_cache_interval=key[2],
+                               final_step_f32=self.final_step_f32)
             make_safe = lambda: make_stamp_fn(
                 self.safe_models, self.scheduler_name, key[1],
-                deep_cache_interval=key[2])
+                deep_cache_interval=key[2],
+                final_step_f32=self.final_step_f32)
             self._stamp[key] = self._guard(
                 jax.jit(fn), make_safe, f"stamp {key}")
         return self._stamp[key]
 
     def session_stamp_fn(self, resolution: int, steps: int,
-                         deep_cache_interval: int = 1):
+                         deep_cache_interval=1):
         """Resident-canvas stroke-stamp program (pipeline/session.py).
         The canvas argument (argnum 1) is donated so XLA updates the
         resident stroke state in place - the 'donated-buffer stroke
         continuation' serving design. jit re-specializes per canvas
         (H, W) automatically; one cache entry per (res, steps, interval)
         covers every canvas size."""
-        key = (int(resolution), int(steps), int(deep_cache_interval))
+        key = (int(resolution), int(steps), _interval_key(deep_cache_interval))
         if key not in self._session_stamp:
             fn = make_session_stamp_fn(
                 self.models, self.scheduler_name, key[1],
-                deep_cache_interval=key[2])
+                deep_cache_interval=key[2],
+                final_step_f32=self.final_step_f32)
             make_safe = lambda: make_session_stamp_fn(
                 self.safe_models, self.scheduler_name, key[1],
-                deep_cache_interval=key[2])
+                deep_cache_interval=key[2],
+                final_step_f32=self.final_step_f32)
             self._session_stamp[key] = self._guard(
                 jax.jit(fn, donate_argnums=(1,)), make_safe,
                 f"session stamp {key}",
@@ -184,20 +200,22 @@ class Engine:
         return self._session_stamp[key]
 
     def session_stroke_fn(self, resolution: int, steps: int,
-                          deep_cache_interval: int = 1):
+                          deep_cache_interval=1):
         """K-chained resident-canvas stroke program
         (pipeline/session.py make_session_stroke_fn): one dispatch per
         stroke segment instead of one per stamp. jit re-specializes per
         (canvas shape, K) from one cache entry per (res, steps,
         interval); the canvas (argnum 1) is donated."""
-        key = (int(resolution), int(steps), int(deep_cache_interval))
+        key = (int(resolution), int(steps), _interval_key(deep_cache_interval))
         if key not in self._session_stroke:
             fn = make_session_stroke_fn(
                 self.models, self.scheduler_name, key[1],
-                deep_cache_interval=key[2])
+                deep_cache_interval=key[2],
+                final_step_f32=self.final_step_f32)
             make_safe = lambda: make_session_stroke_fn(
                 self.safe_models, self.scheduler_name, key[1],
-                deep_cache_interval=key[2])
+                deep_cache_interval=key[2],
+                final_step_f32=self.final_step_f32)
             self._session_stroke[key] = self._guard(
                 jax.jit(fn, donate_argnums=(1,)), make_safe,
                 f"session stroke {key}",
@@ -223,12 +241,15 @@ class Engine:
         return self._preview[key]
 
     def warmup(self, params, cond_shape, points, brush_resolution: int):
-        """AOT-compile the given (resolution, steps) operating points by
-        running each program once on dummy data."""
+        """AOT-compile the given (resolution, steps[, interval]) operating
+        points by running each program once on dummy data. Returns
+        {(res, steps, interval): seconds} so callers (bench.py) can
+        report cache hit vs cold compile per point."""
         import jax.numpy as jnp
         import numpy as np
 
         rng = jax.random.PRNGKey(0)
+        timings = {}
         for point in points:
             res, steps = point[0], point[1]
             interval = point[2] if len(point) > 2 else 1
@@ -248,6 +269,8 @@ class Engine:
             # a persistent-cache hit deserializes in a few seconds; a
             # cold compile of the 512px stamp program is ~3 min - log
             # which one happened so cache regressions are visible
-            logger.info("warmup stamp %dx%d steps=%d cache=%d: %.1fs (%s)",
+            logger.info("warmup stamp %dx%d steps=%d cache=%s: %.1fs (%s)",
                         res, res, steps, interval, dt,
                         "cache hit" if dt < 30 else "cold compile")
+            timings[(res, steps, _interval_key(interval))] = dt
+        return timings

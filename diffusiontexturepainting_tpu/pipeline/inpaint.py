@@ -51,11 +51,40 @@ class StampModels:
     # deep_cache_interval > 1 is rejected.
     unet_full_apply: Optional[Callable] = None
     unet_shallow_apply: Optional[Callable] = None
+    # f32-compute UNet forward over the same (bf16-stored) params, for
+    # the f32_final_step operating point. Optional.
+    unet_final_apply: Optional[Callable] = None
+
+
+def _cache_flags(deep_cache_interval, n_iters: int):
+    """Normalize the DeepCache spec into per-iteration use-cache flags.
+
+    `deep_cache_interval` is either an int (uniform: every interval-th
+    step full, the rest shallow - handled by the scan-grouped path, so
+    return None here) or an explicit pattern string like 'FSSF' (F = full
+    UNet, S = shallow-against-cache). A pattern must start with 'F' (the
+    first shallow step needs a cache to consume) and match the
+    scheduler's iteration count. Returns a list of bools (True = shallow)
+    for the pattern case, None for ints.
+    """
+    if isinstance(deep_cache_interval, int):
+        return None
+    pattern = str(deep_cache_interval).upper()
+    if set(pattern) - {"F", "S"}:
+        raise ValueError(f"deep-cache pattern {pattern!r}: only 'F'/'S'")
+    if len(pattern) != n_iters:
+        raise ValueError(f"deep-cache pattern {pattern!r} length "
+                         f"{len(pattern)} != scheduler iterations {n_iters}")
+    if pattern[0] != "F":
+        raise ValueError(f"deep-cache pattern {pattern!r} must start with "
+                         "'F' (a shallow step consumes the latest cache)")
+    return [c == "S" for c in pattern]
 
 
 def make_stamp_fn(models: StampModels, scheduler_name: str, num_steps: int,
                   deterministic_vae: bool = False,
-                  deep_cache_interval: int = 1):
+                  deep_cache_interval=1,
+                  final_step_f32: bool = False):
     """Build the pure stamp function for a fixed (scheduler, steps).
 
     `deep_cache_interval > 1` enables DeepCache-style denoising: every
@@ -63,7 +92,11 @@ def make_stamp_fn(models: StampModels, scheduler_name: str, num_steps: int,
     steps in between run only the outermost level against the cache
     (~3x fewer UNet FLOPs on cached steps). The full/shallow pattern is
     statically interleaved - the scan body covers one cache period - so
-    no dynamic control flow enters the program.
+    no dynamic control flow enters the program. A string
+    `deep_cache_interval` (e.g. 'FSSF') is an explicit per-step pattern
+    instead - same cost as the uniform interval with the same F count,
+    but the placement of full evals is free (a trailing 'F' buys back
+    final-step fidelity, since the last eps enters x0 at full weight).
 
     Returns fn(params, canvas_u8(1,H,W,4), brush(1,H,W,3)[0..1],
                cond(1,L,D), uncond(1,L,D), rng, counter,
@@ -76,11 +109,26 @@ def make_stamp_fn(models: StampModels, scheduler_name: str, num_steps: int,
     eager fold_in + scalar upload per request (a measurable per-request
     cost on tunneled/remote backends).
     """
-    if deep_cache_interval > 1 and (
+    cache_on = (not isinstance(deep_cache_interval, int)
+                or deep_cache_interval > 1)
+    if cache_on and (
             models.unet_full_apply is None or models.unet_shallow_apply is None):
         raise ValueError("deep_cache_interval > 1 requires unet_full_apply "
                          "and unet_shallow_apply")
     scheduler = make_scheduler(scheduler_name).set_timesteps(num_steps)
+    pattern_flags = _cache_flags(deep_cache_interval,
+                                 scheduler.num_iterations())
+    if final_step_f32:
+        if models.unet_final_apply is None:
+            raise ValueError("final_step_f32 requires unet_final_apply")
+        if cache_on and pattern_flags is None:
+            # uniform interval -> explicit pattern so the final step is
+            # individually addressable in the unrolled path
+            n = scheduler.num_iterations()
+            pattern_flags = [s % deep_cache_interval != 0 for s in range(n)]
+        if pattern_flags is not None and pattern_flags[-1]:
+            raise ValueError("final_step_f32 requires the final step to be "
+                             "a full ('F') eval, not a shallow one")
     rows = {k: jnp.asarray(v) for k, v in scheduler.scan_rows().items()}
     scale = models.vae_scaling
 
@@ -134,16 +182,23 @@ def make_stamp_fn(models: StampModels, scheduler_name: str, num_steps: int,
         step_keys = jax.random.split(step_rng, n_iters)
         sched_state = scheduler.init_state(latents.shape)
 
-        def one_step(lat_t, st, row, tg_scale, key, cache, use_cache: bool):
+        def one_step(lat_t, st, row, tg_scale, key, cache, use_cache: bool,
+                     final: bool = False):
             lat_in = jnp.concatenate([lat_t] * 3, axis=0)
             lat_in = scheduler.scale_model_input(lat_in, row)
             unet_in = jnp.concatenate([lat_in, mask_lat, masked_latents], axis=-1)
             t = jnp.broadcast_to(row["timestep"], (3,))
-            if use_cache:
+            if final and final_step_f32:
+                # f32-compute eval over the same (bf16-stored) weights -
+                # the final eps enters x0 at full weight
+                noise_pred = models.unet_final_apply(
+                    params["unet"], unet_in, t, embeddings)
+                new_cache = cache
+            elif use_cache:
                 noise_pred = models.unet_shallow_apply(
                     params["unet"], unet_in, t, embeddings, cache)
                 new_cache = cache
-            elif deep_cache_interval > 1:
+            elif cache_on:
                 noise_pred, new_cache = models.unet_full_apply(
                     params["unet"], unet_in, t, embeddings)
             else:
@@ -159,7 +214,7 @@ def make_stamp_fn(models: StampModels, scheduler_name: str, num_steps: int,
             lat_t, st = scheduler.step(eps, lat_t, row, st, noise)
             return lat_t, st, new_cache
 
-        if deep_cache_interval <= 1:
+        if not cache_on and not final_step_f32:
             def body(carry, xs):
                 lat_t, st = carry
                 row, tg_scale, key = xs
@@ -169,6 +224,37 @@ def make_stamp_fn(models: StampModels, scheduler_name: str, num_steps: int,
 
             (latents, _), _ = jax.lax.scan(
                 body, (latents, sched_state), (rows, tg_scales, step_keys))
+        elif not cache_on:
+            # exact math, f32 final step: scan the first n-1 bf16 steps,
+            # then one f32-compute eval outside the scan
+            def body(carry, xs):
+                lat_t, st = carry
+                row, tg_scale, key = xs
+                lat_t, st, _ = one_step(lat_t, st, row, tg_scale, key, None,
+                                        False)
+                return (lat_t, st), None
+
+            take = lambda tree, sl: jax.tree_util.tree_map(
+                lambda a: a[sl], tree)
+            head = slice(0, n_iters - 1)
+            (latents, sched_state), _ = jax.lax.scan(
+                body, (latents, sched_state),
+                (take(rows, head), tg_scales[head], step_keys[head]))
+            latents, sched_state, _ = one_step(
+                latents, sched_state, take(rows, n_iters - 1),
+                tg_scales[n_iters - 1], step_keys[n_iters - 1], None,
+                False, final=True)
+        elif pattern_flags is not None:
+            # explicit F/S pattern: fully unrolled (patterns are used at
+            # few-step operating points, so the unroll stays small)
+            take = lambda tree, sl: jax.tree_util.tree_map(
+                lambda a: a[sl], tree)
+            cache = None
+            for s, shallow in enumerate(pattern_flags):
+                latents, sched_state, cache = one_step(
+                    latents, sched_state, take(rows, s), tg_scales[s],
+                    step_keys[s], cache, use_cache=shallow,
+                    final=(s == len(pattern_flags) - 1))
         else:
             period = deep_cache_interval
             groups = n_iters // period

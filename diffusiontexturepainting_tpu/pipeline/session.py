@@ -61,7 +61,8 @@ def _clamped_corner(x0, y0, res: int, width: int, height: int):
 
 
 def make_session_stamp_fn(models: StampModels, scheduler_name: str,
-                          num_steps: int, deep_cache_interval: int = 1):
+                          num_steps: int, deep_cache_interval=1,
+                          final_step_f32: bool = False):
     """Build the resident-canvas stamp program.
 
     Returns fn(params, canvas_u8(H,W,4), brush(1,res,res,3), cond, uncond,
@@ -77,7 +78,8 @@ def make_session_stamp_fn(models: StampModels, scheduler_name: str,
     donate_argnums=1)) so XLA reuses its HBM buffer for the output.
     """
     stamp = make_stamp_fn(models, scheduler_name, num_steps,
-                          deep_cache_interval=deep_cache_interval)
+                          deep_cache_interval=deep_cache_interval,
+                          final_step_f32=final_step_f32)
 
     def session_stamp(params, canvas_u8, brush, cond, uncond, rng, counter,
                       x0, y0, cfg_weight, tg_weight, tg_steps, context_pad,
@@ -117,7 +119,8 @@ def make_session_stamp_fn(models: StampModels, scheduler_name: str,
 
 
 def make_session_stroke_fn(models: StampModels, scheduler_name: str,
-                           num_steps: int, deep_cache_interval: int = 1):
+                           num_steps: int, deep_cache_interval=1,
+                           final_step_f32: bool = False):
     """K chained resident-canvas stamps as ONE device program.
 
     A fire-and-forget stroke client never needs a stamp's pixels, only
@@ -138,7 +141,8 @@ def make_session_stroke_fn(models: StampModels, scheduler_name: str,
     counter).
     """
     stamp = make_session_stamp_fn(models, scheduler_name, num_steps,
-                                  deep_cache_interval=deep_cache_interval)
+                                  deep_cache_interval=deep_cache_interval,
+                                  final_step_f32=final_step_f32)
 
     def session_stroke(params, canvas_u8, brush, cond, uncond, rng,
                        counters, xs, ys, cfg_ws, tg_ws, tg_stepss, pads,

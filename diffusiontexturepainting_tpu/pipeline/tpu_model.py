@@ -53,6 +53,7 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
         seed: int | None = None,
         verbose_timing: bool = True,
         dtype_overrides: dict | None = None,
+        cfg_mesh=None,
     ):
         """`dtype_overrides`: per-component compute-dtype override, e.g.
         {"unet": jnp.float32} - the fidelity-bisect hook
@@ -104,6 +105,25 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
         else:
             vae_dec = lambda p, z: self.vae_decoder.apply({"params": p}, z)
 
+        # Safe twin config (also the f32-final-step eval config): every
+        # fused pallas path off - module legs only.
+        safe_ucfg = dataclasses.replace(
+            ucfg, fused_resnet=False, fused_ff=False, fused_norm=False,
+            fused_attn=False)
+        unet_final_apply = None
+        if self.config.f32_final_step:
+            # f32-COMPUTE eval over the same (bf16-stored) param tree:
+            # flax promotes params to the module dtype in-register, so no
+            # second weight copy lives in HBM. XLA path (the pallas
+            # kernels are bf16-specialized).
+            from ..ops.conv3x3 import conv_impl
+
+            f32_unet = UNet2DCondition(safe_ucfg, dtype=jnp.float32)
+
+            def unet_final_apply(p, s, t, c):
+                with conv_impl("xla"):
+                    return f32_unet.apply({"params": p}, s, t, c)
+
         models = StampModels(
             unet_apply=lambda p, s, t, c: self.unet.apply({"params": p}, s, t, c),
             vae_encode_apply=vae_enc,
@@ -114,15 +134,13 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
                 {"params": p}, s, t, c, method=_U.forward_full),
             unet_shallow_apply=lambda p, s, t, c, cache: self.unet.apply(
                 {"params": p}, s, t, c, cache, method=_U.forward_shallow),
+            unet_final_apply=unet_final_apply,
         )
         # Safe twin for the engine's scoped-VMEM compile fallback: same
         # param tree, every fused pallas path off (module legs only; the
         # engine additionally traces it under conv_impl("xla")). Keeps a
         # novel operating point serving correctly when its pallas plans
         # overflow scoped VMEM embedded in the full stamp program.
-        safe_ucfg = dataclasses.replace(
-            ucfg, fused_resnet=False, fused_ff=False, fused_norm=False,
-            fused_attn=False)
         safe_unet = UNet2DCondition(safe_ucfg, dtype=cdt("unet"))
         safe_models = StampModels(
             unet_apply=lambda p, s, t, c: safe_unet.apply(
@@ -137,9 +155,20 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
                 {"params": p}, s, t, c, method=_U.forward_full),
             unet_shallow_apply=lambda p, s, t, c, cache: safe_unet.apply(
                 {"params": p}, s, t, c, cache, method=_U.forward_shallow),
+            unet_final_apply=unet_final_apply,
         )
+        if cfg_mesh is not None:
+            # CFG-branch model parallelism (--mesh model=3): one chip per
+            # guidance branch, everything else unchanged
+            # (parallel/cfg_shard.py).
+            from ..parallel.cfg_shard import cfg_sharded_models
+
+            models = cfg_sharded_models(models, cfg_mesh)
+            safe_models = cfg_sharded_models(safe_models, cfg_mesh)
+        self.cfg_mesh = cfg_mesh
         self.engine = Engine(models, self.config.scheduler,
-                             safe_models=safe_models)
+                             safe_models=safe_models,
+                             final_step_f32=self.config.f32_final_step)
         self._encode_brush = jax.jit(
             lambda p, img: encode_brush_image(self.patch_encoder, p, img))
 
@@ -159,13 +188,8 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
         self._cond, self._uncond = cond, uncond
 
         if warmup:
-            points = warmup_points or [(self._resolution,
-                                        self.config.denoising_steps)]
-            points = [(p[0], p[1],
-                       p[2] if len(p) > 2 else self._cache_interval(p[1]))
-                      for p in points]
-            self.engine.warmup(self.params, cond.shape[1:], points,
-                              self._resolution)
+            self.warmup(warmup_points or [(self._resolution,
+                                           self.config.denoising_steps)])
 
     def _load_params(self, checkpoint_dir):
         if checkpoint_dir:
@@ -278,15 +302,46 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
 
         interval = self._cache_interval(steps)
         fn = self.engine.stamp_fn(res, steps, interval)
-        return fn(self.params, canvas_u8[None], brush, self._cond,
-                  self._uncond, self._base_key, self._next_counter(),
-                  cfg_w, tg_w, tg_steps, pad)
+        return fn(self.params, self._put_banded(canvas_u8, batch=True),
+                  brush, self._cond, self._uncond, self._base_key,
+                  self._next_counter(), cfg_w, tg_w, tg_steps, pad)
 
-    def _cache_interval(self, steps: int) -> int:
-        if (self.config.deep_cache_interval > 1
-                and steps >= self.config.deep_cache_min_steps):
-            return self.config.deep_cache_interval
-        return 1
+    def _cache_interval(self, steps: int):
+        """DeepCache spec for a request's step count: 1 (off), a uniform
+        int interval, or an explicit 'FSSF'-style pattern (which only
+        applies at its own step count - other step counts run exact)."""
+        dci = self.config.deep_cache_interval
+        if steps < self.config.deep_cache_min_steps:
+            return 1
+        if isinstance(dci, str):
+            return dci if len(dci) == steps else 1
+        return dci if dci > 1 else 1
+
+    def set_deep_cache(self, interval, min_steps: int | None = None) -> None:
+        """Switch the DeepCache operating point at runtime. Compiled
+        programs are keyed per interval/pattern, so switching never
+        invalidates existing ones - bench.py uses this to measure the
+        exact and cached operating points against the SAME params/session
+        machinery in one process."""
+        kw = dict(deep_cache_interval=interval)
+        if min_steps is not None:
+            kw["deep_cache_min_steps"] = min_steps
+        self.config = dataclasses.replace(self.config, **kw)
+
+    def warmup(self, points) -> dict:
+        """AOT-compile (or cache-load) the given (resolution, steps[,
+        interval]) operating points; returns {point: seconds} so callers
+        can tell a cache hit (seconds) from a cold compile (minutes)."""
+        points = [(p[0], p[1],
+                   p[2] if len(p) > 2 else self._cache_interval(p[1]))
+                  for p in points]
+        timings = self.engine.warmup(self.params, self._cond.shape[1:],
+                                     points, self._resolution)
+        # accumulate across calls so bench.py can report per-point
+        # cache-hit/cold-compile seconds for the whole process
+        self.warmup_timings = {**getattr(self, "warmup_timings", {}),
+                               **timings}
+        return timings
 
     def generate_raw(self, canvas: np.ndarray, **settings) -> np.ndarray:
         steps = int(settings.get("steps", self.config.denoising_steps))
@@ -344,7 +399,7 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
         from ..serving.model_base import validate_session_canvas
 
         canvas_u8 = validate_session_canvas(canvas_u8, self._resolution)
-        self._session_canvas = jnp.asarray(canvas_u8)
+        self._session_canvas = self._put_banded(canvas_u8)
         self._pending_stamps = []
 
     def session_active(self) -> bool:
@@ -464,6 +519,36 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
     # jitted program returning all bands (n separate eager slices would
     # each pay a ~70 s remote-compile at first fetch).
     _FETCH_BANDS = 8
+
+    # Bands for the pipelined canvas UPLOAD (the mirror of _FETCH_BANDS):
+    # the tunneled transport serializes one blocking transfer but
+    # overlaps round trips across concurrent ones, so the per-request
+    # canvas upload (1 MB at 512px, 7-45 ms serial) is issued as
+    # _PUT_BANDS async jax.device_put calls; a tiny jitted concat
+    # program reassembles them on device. All dispatches are async, so
+    # the concat (and the stamp behind it) queues while bands are still
+    # in flight - nothing blocks host-side. The stamp program itself is
+    # unchanged (it receives a resident device array).
+    _PUT_BANDS = 8
+
+    def _put_banded(self, canvas_u8: np.ndarray, batch: bool = False):
+        """Host->device upload of an (H, W, C) array as _PUT_BANDS
+        concurrent async transfers + one on-device concat (falls back to
+        a single transfer when the leading dim does not split). `batch`
+        folds the stamp program's leading batch dim into the concat
+        program instead of paying an eager expand_dims dispatch."""
+        n = self._PUT_BANDS
+        if canvas_u8.shape[0] % n:
+            arr = jnp.asarray(canvas_u8)
+            return arr[None] if batch else arr
+        fns = getattr(self, "_put_bands_fns", None)
+        if fns is None:
+            fns = self._put_bands_fns = {
+                False: jax.jit(lambda *b: jnp.concatenate(b, axis=0)),
+                True: jax.jit(lambda *b: jnp.concatenate(b, axis=0)[None]),
+            }
+        return fns[batch](*[jax.device_put(b)
+                            for b in np.split(canvas_u8, n, axis=0)])
 
     def _fetch_np(self, arr) -> np.ndarray:
         """Device->host download as _FETCH_BANDS overlapping async band

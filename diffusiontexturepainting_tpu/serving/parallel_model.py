@@ -19,6 +19,14 @@ Pieces:
 
 serving/run.py exposes this as `--mesh data=N`; handler.py routes
 stamps through the async path when the model provides one.
+
+Single-chip request batching (the reference's TRT batch-1..16 engine
+envelope, models.py:886-890 / trt_model.py:44 max_batch_size=16): the
+same machinery with `--mesh data=1 --max-batch 4` - concurrent painters'
+stamps vmap into one batched program on ONE chip, amortizing the
+per-step weight HBM reads across the batch. Partial batches pad to the
+smallest bucket (data_size x powers of 2) rather than the full batch, so
+a lone painter never pays 4x compute.
 """
 
 from __future__ import annotations
@@ -235,8 +243,22 @@ class ParallelInpainterService:
         self.data_size = int(mesh.shape["data"])
         self.engine = ParallelStampEngine(
             base.engine.models, base.config.scheduler, mesh)
+        max_batch = max_batch or self.data_size
+        if max_batch % self.data_size:
+            raise ValueError(f"max_batch {max_batch} must be a multiple of "
+                             f"the mesh data axis {self.data_size}")
+        # partial batches pad to the smallest of these (the batched
+        # program jit-specializes per batch size, so the bucket set keeps
+        # the compiled-program count finite - same design as the stroke
+        # K buckets, pipeline/tpu_model.py _STROKE_BUCKETS)
+        self.pad_buckets = []
+        b = self.data_size
+        while b < max_batch:
+            self.pad_buckets.append(b)
+            b *= 2
+        self.pad_buckets.append(max_batch)
         self.dispatcher = _BatchDispatcher(
-            self._run_batch, max_batch or self.data_size, window_ms)
+            self._run_batch, max_batch, window_ms)
         self._counter = 0
         self._session_rr = 0
         self._session_params: Dict[int, object] = {}
@@ -304,7 +326,7 @@ class ParallelInpainterService:
     def _run_batch(self, key, payloads):
         res, steps = key
         n = len(payloads)
-        B = self.dispatcher.batch_size
+        B = next(b for b in self.pad_buckets if b >= n)
         padded = payloads + [payloads[-1]] * (B - n)
         stack = lambda f: np.stack([f(p) for p in padded])
         base_key = np.asarray(self.base._base_key)
@@ -330,8 +352,12 @@ def make_parallel_service(resolution: int, mesh_spec: str,
                           checkpoint_dir: str | None = None,
                           scheduler: str | None = None,
                           window_ms: float = 3.0,
-                          tiny: bool = False):
-    """Build the service from a CLI mesh spec like 'data=8'."""
+                          tiny: bool = False,
+                          max_batch: int | None = None):
+    """Build the service from a CLI mesh spec like 'data=8'.
+
+    `max_batch` > data axis enables per-chip request batching (e.g.
+    'data=1' + max_batch=4 batches 4 concurrent painters on one chip)."""
     from jax.sharding import Mesh
 
     from ..core.config import PipelineConfig
@@ -354,4 +380,5 @@ def make_parallel_service(resolution: int, mesh_spec: str,
         warmup=False,  # the batched SPMD program warms on first batch
         verbose_timing=False,
     )
-    return ParallelInpainterService(base, mesh, window_ms=window_ms)
+    return ParallelInpainterService(base, mesh, window_ms=window_ms,
+                                    max_batch=max_batch)

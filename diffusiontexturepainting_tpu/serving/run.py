@@ -86,17 +86,32 @@ def _warm_session(model, session_canvas: str, warmup_points=None):
     model.end_session()
 
 
+def _deep_cache_spec(value: str):
+    """argparse type for --deep-cache-interval: int or 'FSSF' pattern."""
+    try:
+        return int(value)
+    except ValueError:
+        pattern = value.upper()
+        if not pattern or set(pattern) - {"F", "S"} or pattern[0] != "F":
+            raise ValueError(
+                f"--deep-cache-interval {value!r}: expected an int or an "
+                "'F'/'S' pattern starting with 'F'")
+        return pattern
+
+
 def create_server(model=None, resolution: int = 256, debug_dir: str | None = None,
                   mock: bool = False, warmup: bool = True,
                   checkpoint_dir: str | None = None,
                   scheduler: str | None = None,
-                  deep_cache_interval: int | None = None,
+                  deep_cache_interval=None,
                   warmup_points=None,
                   profile_dir: str | None = None,
                   mesh: str | None = None,
                   batch_window_ms: float = 3.0,
+                  max_batch: int | None = None,
                   session_canvas: str | None = None,
-                  f32_components=None):
+                  f32_components=None,
+                  f32_final_step: bool = False):
     """Create the Tornado application around an inpainter model.
 
     mesh: e.g. "data=8" - serve concurrent sessions through a
@@ -104,12 +119,43 @@ def create_server(model=None, resolution: int = 256, debug_dir: str | None = Non
     (serving/parallel_model.py); each websocket connection gets its own
     brush session, stamps micro-batch across the mesh.
     """
+    if mesh and "model" in mesh:
+        # CFG-branch model parallelism: ONE painter served by 3 chips
+        # (one per guidance branch, parallel/cfg_shard.py). The model
+        # behaves exactly like the single-chip inpainter - normal
+        # handler, sessions, warmup - so fall through to the standard
+        # path with the sharded model instance.
+        from ..core.config import PipelineConfig
+        from ..parallel.cfg_shard import make_cfg_mesh
+        from ..pipeline.tpu_model import TPUConditionalInpainter
+
+        kv = dict(part.split("=") for part in mesh.split(","))
+        n = int(kv.pop("model"))
+        if kv:
+            raise ValueError(f"--mesh model=N cannot combine with {kv}")
+        cfg_kwargs = {}
+        if scheduler:
+            cfg_kwargs["scheduler"] = scheduler
+        if deep_cache_interval is not None:
+            cfg_kwargs["deep_cache_interval"] = deep_cache_interval
+        if f32_final_step:
+            cfg_kwargs["f32_final_step"] = True
+        model = TPUConditionalInpainter(
+            resolution, warmup=warmup, checkpoint_dir=checkpoint_dir,
+            config=PipelineConfig(**cfg_kwargs) if cfg_kwargs else None,
+            warmup_points=warmup_points, cfg_mesh=make_cfg_mesh(n))
+        mesh = None
+        model_info = (f"tpu-sd15-inpaint cfg-sharded[model={n}]"
+                      + ("" if checkpoint_dir else " (random weights)"))
+    else:
+        model_info = None
     if mesh:
         from .parallel_model import make_parallel_service
 
         service = make_parallel_service(
             resolution, mesh, checkpoint_dir=checkpoint_dir,
-            scheduler=scheduler, window_ms=batch_window_ms)
+            scheduler=scheduler, window_ms=batch_window_ms,
+            max_batch=max_batch)
         if session_canvas:
             # Warm one session per chip: sessions are round-robin-pinned
             # (acquire_session_device), so N sequential warm sessions hit
@@ -147,6 +193,10 @@ def create_server(model=None, resolution: int = 256, debug_dir: str | None = Non
                 cfg_kwargs["scheduler"] = scheduler
             if deep_cache_interval is not None:
                 cfg_kwargs["deep_cache_interval"] = deep_cache_interval
+            if f32_final_step:
+                # middle fidelity point: only the final denoise step's
+                # UNet eval runs in f32 (core/config.py f32_final_step)
+                cfg_kwargs["f32_final_step"] = True
             overrides = None
             if f32_components:
                 # fidelity-critical deployments: compute the named
@@ -170,7 +220,7 @@ def create_server(model=None, resolution: int = 256, debug_dir: str | None = Non
             model_info = ("tpu-sd15-inpaint"
                           + ("" if checkpoint_dir else " (random weights)"))
     else:
-        model_info = type(model).__name__
+        model_info = model_info or type(model).__name__
 
     if session_canvas and hasattr(model, "begin_session"):
         _warm_session(model, session_canvas, warmup_points)
@@ -203,23 +253,43 @@ def run_main(argv=None):
                         choices=["DDIM", "DPM", "DPM++", "EulerA",
                                  "LMS", "LMSD", "PNDM"],
                         help="sampler (default: pipeline config, DDIM)")
-    parser.add_argument("--deep-cache-interval", type=int, default=None,
+    parser.add_argument("--deep-cache-interval", type=_deep_cache_spec,
+                        default=None,
                         help=">1 enables DeepCache-style UNet feature reuse "
-                             "for multi-step requests")
+                             "for multi-step requests; an explicit 'FSSF' "
+                             "full/shallow pattern pins it per step "
+                             "(applies only to requests with that exact "
+                             "step count)")
+    parser.add_argument("--f32-final-step", action="store_true",
+                        help="compute only the FINAL denoise step's UNet "
+                             "eval in f32 (middle fidelity point: cheaper "
+                             "than --f32-components unet, collapses most "
+                             "of the bf16 pixel tail - README fidelity "
+                             "table)")
     parser.add_argument("--warmup-points", type=str, default=None,
                         help="comma list of RESOLUTIONxSTEPS operating points "
                              "to compile at startup, e.g. '256x20,512x4' "
                              "(the analog of TRT optimization profiles)")
     parser.add_argument("--mesh", type=str, default=None,
-                        help="request-parallel multi-chip serving, e.g. "
-                             "'data=8': concurrent sessions micro-batch "
-                             "into one SPMD stamp program over N chips")
+                        help="multi-chip serving: 'data=8' micro-batches "
+                             "concurrent sessions into one SPMD stamp "
+                             "program over N chips; 'model=3' shards the "
+                             "CFG triple-batch one guidance branch per "
+                             "chip for ONE painter's latency "
+                             "(parallel/cfg_shard.py)")
     parser.add_argument("--session-canvas", type=str, default=None,
                         help="AOT-compile the stroke-session program for "
                              "this canvas size at startup, e.g. 1024x1024 "
                              "(width x height)")
     parser.add_argument("--batch-window-ms", type=float, default=3.0,
                         help="micro-batch collection window for --mesh")
+    parser.add_argument("--max-batch", type=int, default=None,
+                        help="per-chip request batching: batch up to this "
+                             "many concurrent stamps per dispatch (a "
+                             "multiple of the mesh data axis; e.g. --mesh "
+                             "data=1 --max-batch 4 batches 4 painters on "
+                             "one chip - the reference TRT engine's "
+                             "batch-16 envelope, models.py:886-890)")
     parser.add_argument("--f32-components", type=str, default=None,
                         help="comma list of components to compute in f32 "
                              "for fidelity-critical serving, e.g. 'unet' "
@@ -250,11 +320,13 @@ def run_main(argv=None):
                         profile_dir=args.profile_dir,
                         mesh=args.mesh,
                         batch_window_ms=args.batch_window_ms,
+                        max_batch=args.max_batch,
                         session_canvas=args.session_canvas,
                         f32_components=(
                             [s.strip() for s in args.f32_components.split(",")
                              if s.strip()]
-                            if args.f32_components else None))
+                            if args.f32_components else None),
+                        f32_final_step=args.f32_final_step)
     app.listen(args.port)
     logger.info("Serving on ws://0.0.0.0:%d/websocket/", args.port)
     tornado.ioloop.IOLoop.current().start()

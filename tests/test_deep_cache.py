@@ -68,6 +68,89 @@ def test_deep_cache_below_min_steps_disabled(cached_model):
     assert (64, 2, 1) in cached_model.engine._stamp  # interval forced to 1
 
 
+def test_deep_cache_pattern_semantics(cached_model):
+    """Explicit F/S patterns: all-'F' reproduces the exact pipeline, and
+    'FSFS' reproduces the uniform interval-2 schedule (same full/shallow
+    placement, scan-grouped vs unrolled trace)."""
+    brush = np.random.default_rng(1).random((64, 64, 3)).astype(np.float32)
+    cached_model.set_brush(brush)
+    canvas = np.zeros((64, 64, 4), np.float32)
+    canvas[:16, :, 3] = 1.0
+
+    def run(interval, steps=4):
+        cached_model.set_deep_cache(interval, min_steps=4)
+        cached_model._request_counter = 7  # same RNG stream per run
+        return cached_model.generate_raw(canvas, steps=steps)
+
+    exact = run(1)
+    interval2 = run(2)
+    np.testing.assert_allclose(run("FFFF"), exact, atol=2e-3)
+    np.testing.assert_allclose(run("FSFS"), interval2, atol=2e-3)
+    assert np.abs(run("FSSF") - exact).max() > 0.0  # distinct schedule
+    cached_model.set_deep_cache(2, min_steps=4)  # restore fixture state
+
+
+def test_deep_cache_pattern_validation(cached_model):
+    from diffusiontexturepainting_tpu.pipeline.inpaint import _cache_flags
+
+    assert _cache_flags(1, 4) is None
+    assert _cache_flags(2, 4) is None
+    assert _cache_flags("FSSF", 4) == [False, True, True, False]
+    with pytest.raises(ValueError, match="must start with 'F'"):
+        _cache_flags("SFFF", 4)
+    with pytest.raises(ValueError, match="length"):
+        _cache_flags("FS", 4)
+    with pytest.raises(ValueError, match="only 'F'/'S'"):
+        _cache_flags("FXFX", 4)
+    # a pattern only applies to its own step count: other counts run exact
+    cached_model.set_deep_cache("FSSF", min_steps=4)
+    assert cached_model._cache_interval(4) == "FSSF"
+    assert cached_model._cache_interval(5) == 1
+    cached_model.set_deep_cache(2, min_steps=4)
+
+
+def test_f32_final_step_pipeline(cached_model):
+    """f32_final_step: runs end-to-end, differs from the all-one-dtype
+    pipeline only through the final step's compute dtype, and composes
+    with an F-terminated DeepCache pattern (S-terminated is rejected)."""
+    from diffusiontexturepainting_tpu.pipeline.inpaint import make_stamp_fn
+
+    brush = np.random.default_rng(2).random((64, 64, 3)).astype(np.float32)
+    canvas = np.zeros((64, 64, 4), np.float32)
+    canvas[:16, :, 3] = 1.0
+
+    def build(**cfg_kw):
+        m = TPUConditionalInpainter(
+            resolution=64, tiny=True, warmup=False, verbose_timing=False,
+            config=PipelineConfig(deep_cache_min_steps=4, **cfg_kw))
+        m.params = cached_model.params
+        m.set_brush(brush)
+        m._request_counter = 9
+        return m
+
+    plain = build().generate_raw(canvas, steps=4)
+    promoted = build(f32_final_step=True).generate_raw(canvas, steps=4)
+    assert promoted.shape == plain.shape
+    # CPU tests run everything in f32, so the promoted path is
+    # numerically identical math - outputs must agree tightly
+    np.testing.assert_allclose(promoted, plain, atol=2e-3)
+
+    combo = build(f32_final_step=True,
+                  deep_cache_interval="FSSF").generate_raw(canvas, steps=4)
+    assert combo.shape == plain.shape
+
+    with pytest.raises(ValueError, match="final step"):
+        m = build(f32_final_step=True, deep_cache_interval="FFFS")
+        m.generate_raw(canvas, steps=4)
+
+    engine = cached_model.engine
+    with pytest.raises(ValueError, match="unet_final_apply"):
+        make_stamp_fn(
+            engine.models.__class__(**{
+                **engine.models.__dict__, "unet_final_apply": None}),
+            "DDIM", 4, final_step_f32=True)
+
+
 def test_deep_cache_close_to_uncached(cached_model):
     """Cached trajectory should stay in the neighborhood of the exact one
     (same weights, same noise)."""

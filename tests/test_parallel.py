@@ -99,3 +99,62 @@ def test_parallel_stamp_engine_batch():
             np.zeros((B,), np.int32), np.full((B,), 30, np.int32), steps=2)
     assert len(engine._fns) == 1
     assert np.abs(np.asarray(raw2).astype(int) - raw.astype(int)).max() > 0
+
+
+def test_cfg_branch_sharding_matches_single_device():
+    """--mesh model=3 (parallel/cfg_shard.py): the CFG triple-batch UNet
+    sharded one branch per chip produces the same stamp as the unsharded
+    model - branches are independent until the guidance combine, so the
+    only cross-chip traffic is the gathered eps."""
+    from diffusiontexturepainting_tpu.parallel.cfg_shard import make_cfg_mesh
+    from diffusiontexturepainting_tpu.pipeline.tpu_model import (
+        TPUConditionalInpainter,
+    )
+
+    if len(jax.devices()) < 3:
+        pytest.skip("needs >= 3 devices")
+
+    res = 64
+    rng = np.random.default_rng(0)
+    brush = rng.random((res, res, 3)).astype(np.float32)
+    canvas = np.zeros((res, res, 4), np.float32)
+    canvas[: res // 2, :, :3] = rng.random((res // 2, res, 3))
+    canvas[: res // 2, :, 3] = 1.0
+    settings = dict(steps=2, cfg_weight=2.0, tg_weight=1.0, tg_steps=2,
+                    context_pad=8)
+
+    plain = TPUConditionalInpainter(res, tiny=True, warmup=False,
+                                    verbose_timing=False)
+    sharded = TPUConditionalInpainter(res, tiny=True, warmup=False,
+                                      verbose_timing=False,
+                                      cfg_mesh=make_cfg_mesh(3))
+    sharded.params = plain.params
+    for m in (plain, sharded):
+        m.set_brush(brush)
+        m._request_counter = 11
+    a = plain.generate_u8((canvas * 255).astype(np.uint8), **settings)
+    b = sharded.generate_u8((canvas * 255).astype(np.uint8), **settings)
+    # identical math, different partitioning: allow 1 u8 LSB of
+    # reassociation noise
+    assert np.abs(a.astype(np.int32) - b.astype(np.int32)).max() <= 1
+
+    # stroke-session path composes with the sharded UNet too
+    big = np.zeros((res, 2 * res, 4), np.uint8)
+    sharded.begin_session(big)
+    sharded.stamp_at(0, 0, return_pixels=False, **settings)
+    fetched = sharded.fetch_canvas()
+    sharded.end_session()
+    assert fetched[..., 3].sum() > 0
+
+
+def test_cfg_mesh_requires_three():
+    from diffusiontexturepainting_tpu.parallel.cfg_shard import (
+        cfg_sharded_models, make_cfg_mesh)
+    from diffusiontexturepainting_tpu.pipeline.inpaint import StampModels
+
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:2]), ("model",))
+    models = StampModels(unet_apply=lambda *a: None,
+                         vae_encode_apply=None, vae_decode_apply=None,
+                         params=None)
+    with pytest.raises(ValueError, match="'model'=3"):
+        cfg_sharded_models(models, mesh)

@@ -165,6 +165,55 @@ def test_concurrent_stroke_sessions_pin_to_chips(parallel_server):
                                       canvas[:, -RES // 2:])
 
 
+def _mk_payload(service, rng, res, counter):
+    canvas = np.zeros((res, res, 4), np.uint8)
+    canvas[: res // 2, :, :3] = rng.integers(0, 256, (res // 2, res, 3),
+                                             dtype=np.uint8)
+    canvas[: res // 2, :, 3] = 255
+    brush = rng.random((res, res, 3)).astype(np.float32)
+    cond, uncond = service.base._encode_brush(
+        service.base.params["patch_encoder"], brush[None])
+    return dict(canvas=canvas, brush=brush, cond=np.asarray(cond),
+                uncond=np.asarray(uncond), counter=np.uint32(counter),
+                cfg_weight=np.float32(2.0), tg_weight=np.float32(1.0),
+                tg_steps=np.int32(2), context_pad=np.int32(8))
+
+
+def test_single_chip_batched_parity():
+    """--mesh data=1 --max-batch 4 (the reference TRT batch-16 envelope,
+    single chip): a 3-request batch pads to the 4-bucket and each
+    request's output equals running it alone (batch-1 bucket) - the
+    vmapped batch changes throughput, never results."""
+    from diffusiontexturepainting_tpu.serving.parallel_model import (
+        make_parallel_service,
+    )
+
+    service = make_parallel_service(RES, "data=1", tiny=True, max_batch=4)
+    assert service.pad_buckets == [1, 2, 4]
+    rng = np.random.default_rng(5)
+    payloads = [_mk_payload(service, rng, RES, 100 + i) for i in range(3)]
+
+    batched = service._run_batch((RES, 2), payloads)
+    assert len(batched) == 3
+    for i, p in enumerate(payloads):
+        solo = service._run_batch((RES, 2), [p])[0]
+        np.testing.assert_allclose(
+            batched[i].astype(np.float32), solo.astype(np.float32),
+            atol=1.0)  # u8 quantization: at most 1 LSB from batched math
+        # painted region preserved exactly
+        np.testing.assert_array_equal(batched[i][: RES // 2],
+                                      p["canvas"][: RES // 2, :, :3])
+
+
+def test_max_batch_must_align_with_mesh():
+    from diffusiontexturepainting_tpu.serving.parallel_model import (
+        make_parallel_service,
+    )
+
+    with pytest.raises(ValueError, match="multiple of"):
+        make_parallel_service(RES, "data=2", tiny=True, max_batch=3)
+
+
 def test_batch_dispatcher_pads_and_scatter():
     """Unit: dispatcher pads a partial batch and scatters per-request
     results in order."""

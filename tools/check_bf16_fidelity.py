@@ -18,6 +18,18 @@ Modes (VERDICT r3 next #3 - chase the 512px/4-step tail):
               chaotic conditioning (any rounding difference -> O(1)
               changes in a fraction of pixels), not precision loss.
   --quick     (256,4) only
+  --deep-cache SPEC[,SPEC...]  (VERDICT r4 next #1): fidelity of the
+              DeepCache operating point(s) - e.g. 2, 4, FSFS, FSSF -
+              vs the EXACT pipeline at the SAME dtype (bf16), at
+              (512,4) and, for int specs, (256,20). This isolates the
+              schedule change; the bf16-vs-f32 question is the default
+              mode. Same weights, same RNG stream.
+  --final-step  (VERDICT r4 next #3, step-granular f32): bf16 pipeline
+              with ONLY the final denoise step's UNet eval in f32,
+              vs the all-f32 reference at (512,4). The final eps enters
+              x0 at full weight, so this is the cheapest possible f32
+              promotion; compare its tail to the all-bf16 (18.5%) and
+              f32-UNet (0.8%) brackets from --bisect.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/check_bf16_fidelity.py
 """
@@ -52,14 +64,19 @@ def _stats(tag, a, b):
     return diff
 
 
-def _run(resolution, settings, brush, canvas_u8, dtype, overrides=None):
+def _run(resolution, settings, brush, canvas_u8, dtype, overrides=None,
+         deep_cache=1, f32_final_step=False):
+    from diffusiontexturepainting_tpu.core.config import PipelineConfig
     from diffusiontexturepainting_tpu.pipeline.tpu_model import (
         TPUConditionalInpainter,
     )
 
+    config = PipelineConfig(deep_cache_interval=deep_cache,
+                            deep_cache_min_steps=2,
+                            f32_final_step=f32_final_step)
     model = TPUConditionalInpainter(
         resolution, dtype=dtype, warmup=False, seed=0, verbose_timing=False,
-        dtype_overrides=overrides)
+        dtype_overrides=overrides, config=config)
     model.set_brush(brush)
     out = model.generate_u8(canvas_u8, **settings)
     del model
@@ -105,7 +122,43 @@ def run_control(resolution: int = 512, steps: int = 4):
     _stats(f"{resolution}px/{steps}-step f32 vs f32+1LSB-canvas", a, b)
 
 
+def run_deep_cache(specs, resolution: int = 512, steps: int = 4):
+    import jax.numpy as jnp
+
+    brush, canvas_u8, settings = _inputs(resolution, steps)
+    exact = _run(resolution, settings, brush, canvas_u8, jnp.bfloat16)
+    for spec in specs:
+        out = _run(resolution, settings, brush, canvas_u8, jnp.bfloat16,
+                   deep_cache=spec)
+        _stats(f"{resolution}px/{steps}-step DeepCache[{spec}] vs exact "
+               f"(both bf16)", exact, out)
+
+
+def run_final_step(resolution: int = 512, steps: int = 4):
+    import jax.numpy as jnp
+
+    brush, canvas_u8, settings = _inputs(resolution, steps)
+    ref = _run(resolution, settings, brush, canvas_u8, jnp.float32)
+    out = _run(resolution, settings, brush, canvas_u8, jnp.bfloat16,
+               f32_final_step=True)
+    _stats(f"{resolution}px/{steps}-step bf16 + f32-final-step vs all-f32",
+           ref, out)
+
+
 def main():
+    if "--deep-cache" in sys.argv:
+        raw = sys.argv[sys.argv.index("--deep-cache") + 1]
+        specs = [int(s) if s.isdigit() else s.upper()
+                 for s in raw.split(",") if s]
+        steps = (int(sys.argv[sys.argv.index("--steps") + 1])
+                 if "--steps" in sys.argv else 4)
+        res = (int(sys.argv[sys.argv.index("--resolution") + 1])
+               if "--resolution" in sys.argv else 512)
+        run_deep_cache(specs, res, steps)
+        return
+    if "--final-step" in sys.argv:
+        run_final_step()
+        return
     if "--bisect" in sys.argv:
         run_bisect()
         return
