@@ -371,6 +371,7 @@ def main():
     target_ms = 100.0  # BASELINE.json north-star: <100 ms p50
     warmup_s = {f"{k[0]}x{k[1]}/dc={k[2]}": round(v, 1)
                 for k, v in getattr(model, "warmup_timings", {}).items()}
+    warmup_s.update(getattr(model, "init_timings", {}))
     base_tag = (f"{args.steps}-step DDIM"
                 + (f"+DeepCache[{build_spec}]" if not exact_build else "")
                 + ", CFG triple-batch")

@@ -87,8 +87,15 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
         self.patch_encoder = ConditionPatchEncoder(
             pcfg, dtype=cdt("patch_encoder"))
 
+        import time as _time
+
+        self.init_timings = {}
+        tic = _time.time()
         self.params = self._load_params(checkpoint_dir)
+        self.init_timings["params_s"] = round(_time.time() - tic, 1)
+        tic = _time.time()
         self.params = self._cast_params_for_serving(self.params)
+        self.init_timings["cast_s"] = round(_time.time() - tic, 1)
 
         from ..models.unet import UNet2DCondition as _U
 
@@ -214,11 +221,18 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
         fp16 TRT engines (models.py fp16=True)."""
         if self.dtype != jnp.bfloat16:
             return params
-        cast = lambda tree: jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.bfloat16)
-            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
-            else a,
-            tree)
+        # ONE jitted cast program per component (donated input, so the
+        # f32 copy is freed as the bf16 one materializes): the eager
+        # per-leaf alternative is ~700 dispatches, each a round trip on
+        # tunneled backends - measured tens of seconds of model-ready
+        # time and the variance the round-4 driver artifact could not
+        # attribute.
+        cast = jax.jit(
+            lambda tree: jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                tree),
+            donate_argnums=0)
         # dtype-overridden components (fidelity bisect) keep f32 params
         return {k: (v if self._dtype_overrides.get(k) == jnp.float32
                     else cast(v))
