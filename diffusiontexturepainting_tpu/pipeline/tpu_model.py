@@ -543,26 +543,23 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
     # the concat (and the stamp behind it) queues while bands are still
     # in flight - nothing blocks host-side. The stamp program itself is
     # unchanged (it receives a resident device array).
-    _PUT_BANDS = 8
-
     def _put_banded(self, canvas_u8: np.ndarray, batch: bool = False):
-        """Host->device upload of an (H, W, C) array as _PUT_BANDS
-        concurrent async transfers + one on-device concat (falls back to
-        a single transfer when the leading dim does not split). `batch`
-        folds the stamp program's leading batch dim into the concat
-        program instead of paying an eager expand_dims dispatch."""
-        n = self._PUT_BANDS
-        if canvas_u8.shape[0] % n:
-            arr = jnp.asarray(canvas_u8)
-            return arr[None] if batch else arr
-        fns = getattr(self, "_put_bands_fns", None)
-        if fns is None:
-            fns = self._put_bands_fns = {
-                False: jax.jit(lambda *b: jnp.concatenate(b, axis=0)),
-                True: jax.jit(lambda *b: jnp.concatenate(b, axis=0)[None]),
-            }
-        return fns[batch](*[jax.device_put(b)
-                            for b in np.split(canvas_u8, n, axis=0)])
+        """Host->device upload of an (H, W, C) canvas as ONE transfer.
+
+        Banding the UPLOAD into N concurrent jax.device_put calls + an
+        on-device concat - the mirror of the banded downloads that won in
+        _fetch_np - was measured a clear LOSS on the tunneled backend
+        (512px canvas, put+consume+sync-fetch, 2026-08-20): single put
+        104.8 ms vs 147.4 / 152.2 / 116.2 ms for 2 / 4 / 8 bands.
+        Separate device_puts pay per-transfer setup without overlapping,
+        while one contiguous put streams at full tunnel bandwidth - the
+        asymmetry with downloads is that _fetch_np's bands come from ONE
+        device array via copy_to_host_async (overlapping round trips),
+        whereas upload bands are N independent host arrays each opening
+        its own transfer. `batch` adds the stamp program's leading batch
+        dim (a metadata-only expand on an async device array)."""
+        arr = jnp.asarray(canvas_u8)
+        return arr[None] if batch else arr
 
     def _fetch_np(self, arr) -> np.ndarray:
         """Device->host download as _FETCH_BANDS overlapping async band
