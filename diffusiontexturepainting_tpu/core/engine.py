@@ -240,11 +240,19 @@ class Engine:
                 jax.jit(fn), make_safe, f"preview {key}")
         return self._preview[key]
 
-    def warmup(self, params, cond_shape, points, brush_resolution: int):
+    def warmup(self, params, cond_shape, points, brush_resolution: int,
+               uncond_dtype=None):
         """AOT-compile the given (resolution, steps[, interval]) operating
         points by running each program once on dummy data. Returns
         {(res, steps, interval): seconds} so callers (bench.py) can
-        report cache hit vs cold compile per point."""
+        report cache hit vs cold compile per point.
+
+        `uncond_dtype`: the REAL serving uncond vector's dtype. The cond
+        tokens leave the patch encoder's f32 output head, but the uncond
+        vector is a raw param that the serving cast stores in bf16 - a
+        warmup that zeros_like's it from cond compiles a program variant
+        (f32 uncond) that serving never calls, and the first real request
+        pays the whole compile/load again."""
         import jax.numpy as jnp
         import numpy as np
 
@@ -257,7 +265,7 @@ class Engine:
             canvas = jnp.zeros((1, res, res, 4), jnp.uint8)
             brush = jnp.zeros((1, res, res, 3), jnp.float32)
             cond = jnp.zeros((1,) + tuple(cond_shape), jnp.float32)
-            uncond = jnp.zeros_like(cond)
+            uncond = jnp.zeros(cond.shape, uncond_dtype or cond.dtype)
             out = self.stamp_fn(res, steps, interval)(
                 params, canvas, brush, cond, uncond, rng, np.uint32(0),
                 np.float32(2.0), np.float32(1.0), np.int32(steps),
