@@ -50,14 +50,26 @@ def _shard3(mesh: Mesh, axis: str, apply_fn, has_cache_in: bool = False,
     in_specs = (P(), b, b, b) + ((b,) if has_cache_in else ())
     out_specs = (b, b) if has_cache_out else b
 
+    # params are replicated but flax trees confuse the replication
+    # checker; correctness is by construction (branches never
+    # communicate). jax>=0.8's jax.shard_map dropped the check_rep
+    # kwarg (its successor is check_vma); pass whichever exists.
+    import inspect
+
+    _kw = {}
+    try:
+        sig_params = inspect.signature(shard_map).parameters
+        if "check_rep" in sig_params:
+            _kw["check_rep"] = False
+        elif "check_vma" in sig_params:
+            _kw["check_vma"] = False
+    except (TypeError, ValueError):  # pragma: no cover - exotic wrappers
+        pass
+
     def wrapped(params, sample, t, ctx, *cache):
         return shard_map(
             apply_fn, mesh=mesh,
-            in_specs=in_specs, out_specs=out_specs,
-            # params are replicated but flax trees confuse the
-            # replication checker; correctness is by construction
-            # (branches never communicate)
-            check_rep=False,
+            in_specs=in_specs, out_specs=out_specs, **_kw,
         )(params, sample, t, ctx, *cache)
 
     return wrapped
