@@ -18,20 +18,42 @@ from ..pipeline.inpaint import StampModels, make_stamp_fn
 
 
 class ParallelStampEngine:
-    """Batched multi-chip stamp execution."""
+    """Batched multi-chip stamp execution.
 
-    def __init__(self, models: StampModels, scheduler_name: str, mesh: Mesh):
+    `safe_models` (the engine's no-pallas twin) is REQUIRED for real-TPU
+    batching when provided: vmapping the stamp adds a leading batch dim
+    that the streaming Pallas kernels cannot lower (gn_conv_stream's
+    memory-space-ANY blocks fail with "supports ... only blocks having
+    the same block shape as the array shape" at batch 4, measured
+    2026-08-20), so the batched program is traced from the module-leg
+    models under conv_impl("xla"). The batch's win is weight-traffic
+    amortization, which the XLA kernels get equally; the Pallas kernels
+    are tuned for the single-stamp CFG-batch-3 shapes."""
+
+    def __init__(self, models: StampModels, scheduler_name: str, mesh: Mesh,
+                 safe_models: StampModels | None = None):
         self.models = models
+        self.safe_models = safe_models
         self.scheduler_name = scheduler_name
         self.mesh = mesh
         self._fns = {}
 
     def _build(self, resolution: int, steps: int):
-        stamp = make_stamp_fn(self.models, self.scheduler_name, steps)
+        models = self.safe_models or self.models
+        stamp = make_stamp_fn(models, self.scheduler_name, steps)
         vstamp = jax.vmap(
             stamp,
             in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
         )
+        if self.safe_models is not None:
+            from ..ops.conv3x3 import conv_impl
+
+            inner = vstamp
+
+            def vstamp(*args):
+                with conv_impl("xla"):  # context active during trace
+                    return inner(*args)
+
         data = NamedSharding(self.mesh, P("data"))
         repl = NamedSharding(self.mesh, P())
 

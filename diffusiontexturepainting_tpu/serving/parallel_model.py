@@ -242,7 +242,8 @@ class ParallelInpainterService:
         self.mesh = mesh
         self.data_size = int(mesh.shape["data"])
         self.engine = ParallelStampEngine(
-            base.engine.models, base.config.scheduler, mesh)
+            base.engine.models, base.config.scheduler, mesh,
+            safe_models=base.engine.safe_models)
         max_batch = max_batch or self.data_size
         if max_batch % self.data_size:
             raise ValueError(f"max_batch {max_batch} must be a multiple of "
