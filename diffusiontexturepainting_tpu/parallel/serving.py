@@ -26,9 +26,16 @@ class ParallelStampEngine:
     memory-space-ANY blocks fail with "supports ... only blocks having
     the same block shape as the array shape" at batch 4, measured
     2026-08-20), so the batched program is traced from the module-leg
-    models under conv_impl("xla"). The batch's win is weight-traffic
-    amortization, which the XLA kernels get equally; the Pallas kernels
-    are tuned for the single-stamp CFG-batch-3 shapes."""
+    models under conv_impl("xla"). A UNet-only-fused variant (Pallas
+    kernels in the UNet, XLA VAE) was probed and is NOT viable on this
+    toolchain: the vmapped fused UNet's compile crashed the remote
+    compile service after ~25 min (broken pipe). The measured ceiling
+    makes further batching work moot at the flagship point anyway:
+    batch-4 = 1.00x batch-1 stamps/s/chip at 512/4 (bench.py
+    --concurrent 4) - the stamp is COMPUTE-bound at 82-85% UNet MFU, so
+    batching adds FLOPs linearly; this surface is the reference's
+    batch-1..16 envelope parity and a latency-sharing knob, not a
+    throughput lever."""
 
     def __init__(self, models: StampModels, scheduler_name: str, mesh: Mesh,
                  safe_models: StampModels | None = None):
