@@ -327,10 +327,19 @@ def main():
     from diffusiontexturepainting_tpu.utils.profiling import percentile_stats
 
     def parse_spec(s):
+        """int interval or validated 'FSSF' pattern - fail fast instead
+        of minutes later inside the warmup thread (the validation rules
+        are pipeline/inpaint.py _cache_flags')."""
         try:
             return int(s)
         except ValueError:
-            return s.upper()
+            pass
+        s = s.upper()
+        if set(s) - {"F", "S"} or not s.startswith("F"):
+            raise SystemExit(
+                f"bad DeepCache spec {s!r}: an int interval or an 'F'/'S' "
+                f"pattern starting with 'F'")
+        return s
 
     build_spec = parse_spec(args.deep_cache_interval)
     exact_build = isinstance(build_spec, int) and build_spec <= 1

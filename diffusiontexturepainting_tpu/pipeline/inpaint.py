@@ -123,9 +123,18 @@ def make_stamp_fn(models: StampModels, scheduler_name: str, num_steps: int,
             raise ValueError("final_step_f32 requires unet_final_apply")
         if cache_on and pattern_flags is None:
             # uniform interval -> explicit pattern so the final step is
-            # individually addressable in the unrolled path
+            # individually addressable in the unrolled path. Anchor the
+            # full evals at the END - anchoring at step 0 makes the
+            # final step shallow whenever n % interval == 0 (e.g.
+            # interval 2 at 20 steps), which rejected the f32-final-step
+            # combination outright. The first step must also be full (a
+            # shallow step consumes the latest cache), which costs at
+            # most ONE extra full eval vs the plain interval schedule
+            # when the spacing does not divide n-1.
             n = scheduler.num_iterations()
-            pattern_flags = [s % deep_cache_interval != 0 for s in range(n)]
+            pattern_flags = [(n - 1 - s) % deep_cache_interval != 0
+                             for s in range(n)]
+            pattern_flags[0] = False
         if pattern_flags is not None and pattern_flags[-1]:
             raise ValueError("final_step_f32 requires the final step to be "
                              "a full ('F') eval, not a shallow one")

@@ -406,14 +406,36 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
 
     def _cache_interval(self, steps: int):
         """DeepCache spec for a request's step count: 1 (off), a uniform
-        int interval, or an explicit 'FSSF'-style pattern (which only
-        applies at its own step count - other step counts run exact)."""
+        int interval, or an explicit 'FSSF'-style pattern.
+
+        A pattern is an explicit per-step opt-in: it applies at exactly
+        the step count whose SCHEDULER ITERATIONS match its length
+        (PNDM runs steps+1 model calls) and bypasses the
+        deep_cache_min_steps gate - the gate exists so a uniform
+        interval does not degrade few-step requests, but a 4-char
+        pattern can only ever mean the 4-iteration point, so gating it
+        behind min_steps=8 silently disabled the documented
+        `--deep-cache-interval FSSF` serving flag. Other step counts run
+        exact."""
         dci = self.config.deep_cache_interval
+        if isinstance(dci, str):
+            return dci if len(dci) == self._scheduler_iterations(steps) else 1
         if steps < self.config.deep_cache_min_steps:
             return 1
-        if isinstance(dci, str):
-            return dci if len(dci) == steps else 1
         return dci if dci > 1 else 1
+
+    def _scheduler_iterations(self, steps: int) -> int:
+        """Model-call count of the configured scheduler at `steps`
+        (cached; PNDM's PLMS warm-start runs steps+1)."""
+        cache = getattr(self, "_sched_iters", None)
+        if cache is None:
+            cache = self._sched_iters = {}
+        if steps not in cache:
+            from ..schedulers import make_scheduler
+
+            cache[steps] = (make_scheduler(self.config.scheduler)
+                            .set_timesteps(steps).num_iterations())
+        return cache[steps]
 
     def set_deep_cache(self, interval, min_steps: int | None = None) -> None:
         """Switch the DeepCache operating point at runtime. Compiled
@@ -619,15 +641,6 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
     # each pay a ~70 s remote-compile at first fetch).
     _FETCH_BANDS = 8
 
-    # Bands for the pipelined canvas UPLOAD (the mirror of _FETCH_BANDS):
-    # the tunneled transport serializes one blocking transfer but
-    # overlaps round trips across concurrent ones, so the per-request
-    # canvas upload (1 MB at 512px, 7-45 ms serial) is issued as
-    # _PUT_BANDS async jax.device_put calls; a tiny jitted concat
-    # program reassembles them on device. All dispatches are async, so
-    # the concat (and the stamp behind it) queues while bands are still
-    # in flight - nothing blocks host-side. The stamp program itself is
-    # unchanged (it receives a resident device array).
     def _put_banded(self, canvas_u8: np.ndarray, batch: bool = False):
         """Host->device upload of an (H, W, C) canvas as ONE transfer.
 

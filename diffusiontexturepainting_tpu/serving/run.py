@@ -119,13 +119,47 @@ def create_server(model=None, resolution: int = 256, debug_dir: str | None = Non
     (serving/parallel_model.py); each websocket connection gets its own
     brush session, stamps micro-batch across the mesh.
     """
+    def _pipeline_config_and_overrides():
+        """ONE assembly of the fidelity/operating-point flags shared by
+        every TPUConditionalInpainter construction path (the model=3
+        branch used to rebuild this by hand and silently dropped
+        --f32-components)."""
+        from ..core.config import PipelineConfig
+
+        cfg_kwargs = {}
+        if scheduler:
+            cfg_kwargs["scheduler"] = scheduler
+        if deep_cache_interval is not None:
+            cfg_kwargs["deep_cache_interval"] = deep_cache_interval
+        if f32_final_step:
+            # middle fidelity point: only the final denoise step's UNet
+            # eval runs in f32 (core/config.py f32_final_step)
+            cfg_kwargs["f32_final_step"] = True
+        overrides = None
+        if f32_components:
+            # fidelity-critical deployments: compute the named
+            # components in f32 (the bf16 tail at few-step/512px is the
+            # UNet - README bf16-fidelity bisect; f32 UNet costs ~2x its
+            # device time and drops off the Pallas kernels)
+            import jax.numpy as jnp
+
+            allowed = {"unet", "vae_encoder", "vae_decoder",
+                       "patch_encoder"}
+            bad = set(f32_components) - allowed
+            if bad:
+                raise ValueError(
+                    f"unknown --f32-components {sorted(bad)}; "
+                    f"choose from {sorted(allowed)}")
+            overrides = {c: jnp.float32 for c in f32_components}
+        config = PipelineConfig(**cfg_kwargs) if cfg_kwargs else None
+        return config, overrides
+
     if mesh and "model" in mesh:
         # CFG-branch model parallelism: ONE painter served by 3 chips
         # (one per guidance branch, parallel/cfg_shard.py). The model
         # behaves exactly like the single-chip inpainter - normal
         # handler, sessions, warmup - so fall through to the standard
         # path with the sharded model instance.
-        from ..core.config import PipelineConfig
         from ..parallel.cfg_shard import make_cfg_mesh
         from ..pipeline.tpu_model import TPUConditionalInpainter
 
@@ -133,17 +167,14 @@ def create_server(model=None, resolution: int = 256, debug_dir: str | None = Non
         n = int(kv.pop("model"))
         if kv:
             raise ValueError(f"--mesh model=N cannot combine with {kv}")
-        cfg_kwargs = {}
-        if scheduler:
-            cfg_kwargs["scheduler"] = scheduler
-        if deep_cache_interval is not None:
-            cfg_kwargs["deep_cache_interval"] = deep_cache_interval
-        if f32_final_step:
-            cfg_kwargs["f32_final_step"] = True
+        if max_batch and max_batch > 1:
+            raise ValueError("--max-batch applies to --mesh data=N "
+                             "request batching, not --mesh model=N")
+        config, overrides = _pipeline_config_and_overrides()
         model = TPUConditionalInpainter(
             resolution, warmup=warmup, checkpoint_dir=checkpoint_dir,
-            config=PipelineConfig(**cfg_kwargs) if cfg_kwargs else None,
-            warmup_points=warmup_points, cfg_mesh=make_cfg_mesh(n))
+            config=config, warmup_points=warmup_points,
+            dtype_overrides=overrides, cfg_mesh=make_cfg_mesh(n))
         mesh = None
         model_info = (f"tpu-sd15-inpaint cfg-sharded[model={n}]"
                       + ("" if checkpoint_dir else " (random weights)"))
@@ -185,37 +216,12 @@ def create_server(model=None, resolution: int = 256, debug_dir: str | None = Non
             model = MockConditionalInpainter(resolution)
             model_info = "mock"
         else:
-            from ..core.config import PipelineConfig
             from ..pipeline.tpu_model import TPUConditionalInpainter
 
-            cfg_kwargs = {}
-            if scheduler:
-                cfg_kwargs["scheduler"] = scheduler
-            if deep_cache_interval is not None:
-                cfg_kwargs["deep_cache_interval"] = deep_cache_interval
-            if f32_final_step:
-                # middle fidelity point: only the final denoise step's
-                # UNet eval runs in f32 (core/config.py f32_final_step)
-                cfg_kwargs["f32_final_step"] = True
-            overrides = None
-            if f32_components:
-                # fidelity-critical deployments: compute the named
-                # components in f32 (the bf16 tail at few-step/512px is
-                # the UNet - README bf16-fidelity bisect; f32 UNet costs
-                # ~2x its device time and drops off the Pallas kernels)
-                import jax.numpy as jnp
-                allowed = {"unet", "vae_encoder", "vae_decoder",
-                           "patch_encoder"}
-                bad = set(f32_components) - allowed
-                if bad:
-                    raise ValueError(
-                        f"unknown --f32-components {sorted(bad)}; "
-                        f"choose from {sorted(allowed)}")
-                overrides = {c: jnp.float32 for c in f32_components}
+            config, overrides = _pipeline_config_and_overrides()
             model = TPUConditionalInpainter(
                 resolution, warmup=warmup, checkpoint_dir=checkpoint_dir,
-                config=PipelineConfig(**cfg_kwargs) if cfg_kwargs else None,
-                warmup_points=warmup_points,
+                config=config, warmup_points=warmup_points,
                 dtype_overrides=overrides)
             model_info = ("tpu-sd15-inpaint"
                           + ("" if checkpoint_dir else " (random weights)"))

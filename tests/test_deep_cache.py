@@ -109,6 +109,54 @@ def test_deep_cache_pattern_validation(cached_model):
     cached_model.set_deep_cache(2, min_steps=4)
 
 
+def test_pattern_bypasses_min_steps(cached_model):
+    """A pattern is an explicit opt-in at its own iteration count: it
+    must apply even under the default deep_cache_min_steps=8 gate (the
+    serving CLI never lowers min_steps, so gating patterns made the
+    documented `--deep-cache-interval FSSF` a silent no-op)."""
+    cached_model.set_deep_cache("FSFS", min_steps=8)
+    try:
+        assert cached_model._cache_interval(4) == "FSFS"
+        # the gate still applies to uniform intervals
+        cached_model.set_deep_cache(2, min_steps=8)
+        assert cached_model._cache_interval(4) == 1
+    finally:
+        cached_model.set_deep_cache(2, min_steps=4)
+
+
+def test_pattern_matches_scheduler_iterations():
+    """Pattern applicability is decided against the SCHEDULER's model-call
+    count, not the wire step count: PNDM runs steps+1 iterations, so a
+    4-char pattern at steps=4 must fall back to exact (it used to pass
+    the length check here and then crash inside make_stamp_fn) and a
+    5-char pattern is the one that applies."""
+    m = TPUConditionalInpainter(
+        resolution=64, tiny=True, warmup=False, verbose_timing=False,
+        config=PipelineConfig(scheduler="PNDM",
+                              deep_cache_interval="FSSF"))
+    assert m._cache_interval(4) == 1  # len 4 != PNDM's 5 iterations
+    m.set_deep_cache("FSSFS"[:5])
+    assert m._cache_interval(4) == "FSSFS"
+
+
+def test_f32_final_step_with_uniform_interval(cached_model):
+    """f32_final_step composes with a UNIFORM DeepCache interval even
+    when n_iters % interval == 0 (the derived pattern used to anchor
+    full evals at step 0, leaving the final step shallow and raising at
+    build time for e.g. interval 2 at 4 or 20 steps)."""
+    m = TPUConditionalInpainter(
+        resolution=64, tiny=True, warmup=False, verbose_timing=False,
+        config=PipelineConfig(f32_final_step=True, deep_cache_interval=2,
+                              deep_cache_min_steps=4))
+    m.params = cached_model.params
+    brush = np.random.default_rng(3).random((64, 64, 3)).astype(np.float32)
+    m.set_brush(brush)
+    canvas = np.zeros((64, 64, 4), np.float32)
+    canvas[:16, :, 3] = 1.0
+    out = m.generate(canvas, steps=4)  # 4 % 2 == 0: the crashing case
+    assert out.shape == (64, 64, 3)
+
+
 def test_f32_final_step_pipeline(cached_model):
     """f32_final_step: runs end-to-end, differs from the all-one-dtype
     pipeline only through the final step's compute dtype, and composes

@@ -20,10 +20,11 @@ Modes (VERDICT r3 next #3 - chase the 512px/4-step tail):
   --quick     (256,4) only
   --deep-cache SPEC[,SPEC...]  (VERDICT r4 next #1): fidelity of the
               DeepCache operating point(s) - e.g. 2, 4, FSFS, FSSF -
-              vs the EXACT pipeline at the SAME dtype (bf16), at
-              (512,4) and, for int specs, (256,20). This isolates the
-              schedule change; the bf16-vs-f32 question is the default
-              mode. Same weights, same RNG stream.
+              vs the EXACT pipeline at the SAME dtype (bf16), at the
+              point given by --resolution/--steps (default 512, 4; the
+              README table also records a (256, 20) run). This isolates
+              the schedule change; the bf16-vs-f32 question is the
+              default mode. Same weights, same RNG stream.
   --final-step  (VERDICT r4 next #3, step-granular f32): bf16 pipeline
               with ONLY the final denoise step's UNet eval in f32,
               vs the all-f32 reference at (512,4). The final eps enters
@@ -157,7 +158,11 @@ def main():
         run_deep_cache(specs, res, steps)
         return
     if "--final-step" in sys.argv:
-        run_final_step()
+        steps = (int(sys.argv[sys.argv.index("--steps") + 1])
+                 if "--steps" in sys.argv else 4)
+        res = (int(sys.argv[sys.argv.index("--resolution") + 1])
+               if "--resolution" in sys.argv else 512)
+        run_final_step(res, steps)
         return
     if "--bisect" in sys.argv:
         run_bisect()
