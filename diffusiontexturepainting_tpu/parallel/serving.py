@@ -35,19 +35,35 @@ class ParallelStampEngine:
     --concurrent 4) - the stamp is COMPUTE-bound at 82-85% UNet MFU, so
     batching adds FLOPs linearly; this surface is the reference's
     batch-1..16 envelope parity and a latency-sharing knob, not a
-    throughput lever."""
+    throughput lever. The safe twin is required for EVERY data=N
+    program, not just per-chip batching: SPMD partitioning keeps the
+    vmapped batch rank (each chip's local block is (1, ...), the
+    leading dim is not dropped), so the Pallas lowering failure applies
+    at local batch 1 too. Per-painter stroke SESSIONS are unaffected -
+    they pin to one chip and run the single-chip fused programs."""
 
     def __init__(self, models: StampModels, scheduler_name: str, mesh: Mesh,
-                 safe_models: StampModels | None = None):
+                 safe_models: StampModels | None = None,
+                 final_step_f32: bool = False,
+                 cache_interval_fn=None):
         self.models = models
         self.safe_models = safe_models
         self.scheduler_name = scheduler_name
         self.mesh = mesh
+        # operating-point flags of the owning model: the batched program
+        # must honor the SAME --deep-cache-interval / --f32-final-step
+        # the single-chip engine serves (they used to be silently
+        # dropped on the --mesh data=N path)
+        self.final_step_f32 = final_step_f32
+        self.cache_interval_fn = cache_interval_fn or (lambda steps: 1)
         self._fns = {}
 
     def _build(self, resolution: int, steps: int):
         models = self.safe_models or self.models
-        stamp = make_stamp_fn(models, self.scheduler_name, steps)
+        stamp = make_stamp_fn(
+            models, self.scheduler_name, steps,
+            deep_cache_interval=self.cache_interval_fn(steps),
+            final_step_f32=self.final_step_f32)
         vstamp = jax.vmap(
             stamp,
             in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),

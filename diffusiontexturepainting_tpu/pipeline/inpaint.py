@@ -121,23 +121,15 @@ def make_stamp_fn(models: StampModels, scheduler_name: str, num_steps: int,
     if final_step_f32:
         if models.unet_final_apply is None:
             raise ValueError("final_step_f32 requires unet_final_apply")
-        if cache_on and pattern_flags is None:
-            # uniform interval -> explicit pattern so the final step is
-            # individually addressable in the unrolled path. Anchor the
-            # full evals at the END - anchoring at step 0 makes the
-            # final step shallow whenever n % interval == 0 (e.g.
-            # interval 2 at 20 steps), which rejected the f32-final-step
-            # combination outright. The first step must also be full (a
-            # shallow step consumes the latest cache), which costs at
-            # most ONE extra full eval vs the plain interval schedule
-            # when the spacing does not divide n-1.
-            n = scheduler.num_iterations()
-            pattern_flags = [(n - 1 - s) % deep_cache_interval != 0
-                             for s in range(n)]
-            pattern_flags[0] = False
         if pattern_flags is not None and pattern_flags[-1]:
             raise ValueError("final_step_f32 requires the final step to be "
                              "a full ('F') eval, not a shallow one")
+        # uniform intervals are handled in the grouped-scan branch below:
+        # the final step is kept OUT of the scan (groups over the first
+        # n-1 iterations) and forced to a full f32 eval - converting to a
+        # fully-unrolled pattern here would explode the program at
+        # multi-step points (20 unrolled UNet triples at 256/20, x16 in
+        # the chained stroke program).
     rows = {k: jnp.asarray(v) for k, v in scheduler.scan_rows().items()}
     scale = models.vae_scaling
 
@@ -266,8 +258,12 @@ def make_stamp_fn(models: StampModels, scheduler_name: str, num_steps: int,
                     final=(s == len(pattern_flags) - 1))
         else:
             period = deep_cache_interval
-            groups = n_iters // period
-            tail = n_iters - groups * period
+            # with final_step_f32 the final iteration stays OUT of the
+            # scan (forced full f32 eval); scan only complete periods of
+            # the first n-1 steps, so the unrolled tail stays <= period
+            # steps instead of the whole schedule
+            head_n = n_iters - 1 if final_step_f32 else n_iters
+            groups = head_n // period
             take = lambda tree, sl: jax.tree_util.tree_map(
                 lambda a: a[sl], tree)
             head_rows = take(rows, slice(0, groups * period))
@@ -290,13 +286,17 @@ def make_stamp_fn(models: StampModels, scheduler_name: str, num_steps: int,
 
             (latents, sched_state), _ = jax.lax.scan(
                 body, (latents, sched_state), (head_rows, head_tg, head_keys))
-            # tail steps continue the same pattern, unrolled
+            # tail steps continue the same pattern, unrolled; the final
+            # step is forced FULL when final_step_f32 (costs at most one
+            # extra full eval when it would naturally be shallow)
             cache = None
             for s in range(groups * period, n_iters):
                 row_s = take(rows, s)
+                final = final_step_f32 and s == n_iters - 1
                 latents, sched_state, cache = one_step(
                     latents, sched_state, row_s, tg_scales[s], step_keys[s],
-                    cache, use_cache=(s % period != 0))
+                    cache, use_cache=(s % period != 0) and not final,
+                    final=final)
 
         decoded = models.vae_decode_apply(params["vae_decoder"], latents / scale)
         result = jnp.clip(decoded / 2.0 + 0.5, 0.0, 1.0)

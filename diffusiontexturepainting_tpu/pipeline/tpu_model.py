@@ -254,10 +254,15 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
                     lambda kk, x: self.patch_encoder.init(kk, x, True),
                     k, patches),
             }
-            cdt = lambda name: self._dtype_overrides.get(name, self.dtype)
-
             def serving_dtype(name, sd):
-                if (cdt(name) == jnp.bfloat16
+                # mirror _cast_params_for_serving EXACTLY: the cast runs
+                # only when the model dtype is bf16, and skips components
+                # overridden to f32. (Checking the per-component dtype
+                # alone diverged when dtype=f32 with a bf16 override -
+                # real params stay f32 but the dummy went bf16, silently
+                # wasting the async warmup.)
+                if (self.dtype == jnp.bfloat16
+                        and self._dtype_overrides.get(name) != jnp.float32
                         and jnp.issubdtype(sd.dtype, jnp.floating)):
                     return jnp.bfloat16
                 return sd.dtype

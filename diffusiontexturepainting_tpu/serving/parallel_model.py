@@ -243,7 +243,9 @@ class ParallelInpainterService:
         self.data_size = int(mesh.shape["data"])
         self.engine = ParallelStampEngine(
             base.engine.models, base.config.scheduler, mesh,
-            safe_models=base.engine.safe_models)
+            safe_models=base.engine.safe_models,
+            final_step_f32=base.config.f32_final_step,
+            cache_interval_fn=base._cache_interval)
         max_batch = max_batch or self.data_size
         if max_batch % self.data_size:
             raise ValueError(f"max_batch {max_batch} must be a multiple of "
@@ -354,11 +356,18 @@ def make_parallel_service(resolution: int, mesh_spec: str,
                           scheduler: str | None = None,
                           window_ms: float = 3.0,
                           tiny: bool = False,
-                          max_batch: int | None = None):
+                          max_batch: int | None = None,
+                          config=None,
+                          dtype_overrides=None):
     """Build the service from a CLI mesh spec like 'data=8'.
 
     `max_batch` > data axis enables per-chip request batching (e.g.
-    'data=1' + max_batch=4 batches 4 concurrent painters on one chip)."""
+    'data=1' + max_batch=4 batches 4 concurrent painters on one chip).
+    `config` / `dtype_overrides` carry the full operating-point flags
+    (--deep-cache-interval, --f32-final-step, --f32-components) into
+    both the per-chip session engine and the batched SPMD program -
+    `scheduler` is the legacy single-flag form, ignored when `config`
+    is given."""
     from jax.sharding import Mesh
 
     from ..core.config import PipelineConfig
@@ -373,13 +382,16 @@ def make_parallel_service(resolution: int, mesh_spec: str,
         raise ValueError(
             f"mesh data={data} but only {len(jax.devices())} devices")
     mesh = Mesh(devices, ("data",))
+    if config is None and scheduler:
+        config = PipelineConfig(scheduler=scheduler)
     base = TPUConditionalInpainter(
         resolution,
-        config=PipelineConfig(scheduler=scheduler) if scheduler else None,
+        config=config,
         checkpoint_dir=checkpoint_dir,
         tiny=tiny,
         warmup=False,  # the batched SPMD program warms on first batch
         verbose_timing=False,
+        dtype_overrides=dtype_overrides,
     )
     return ParallelInpainterService(base, mesh, window_ms=window_ms,
                                     max_batch=max_batch)

@@ -154,6 +154,9 @@ def create_server(model=None, resolution: int = 256, debug_dir: str | None = Non
         config = PipelineConfig(**cfg_kwargs) if cfg_kwargs else None
         return config, overrides
 
+    if mesh and mock:
+        raise ValueError("--mock cannot combine with --mesh (the mesh "
+                         "paths build the real TPU pipeline)")
     if mesh and "model" in mesh:
         # CFG-branch model parallelism: ONE painter served by 3 chips
         # (one per guidance branch, parallel/cfg_shard.py). The model
@@ -183,10 +186,11 @@ def create_server(model=None, resolution: int = 256, debug_dir: str | None = Non
     if mesh:
         from .parallel_model import make_parallel_service
 
+        config, overrides = _pipeline_config_and_overrides()
         service = make_parallel_service(
             resolution, mesh, checkpoint_dir=checkpoint_dir,
-            scheduler=scheduler, window_ms=batch_window_ms,
-            max_batch=max_batch)
+            config=config, dtype_overrides=overrides,
+            window_ms=batch_window_ms, max_batch=max_batch)
         if session_canvas:
             # Warm one session per chip: sessions are round-robin-pinned
             # (acquire_session_device), so N sequential warm sessions hit

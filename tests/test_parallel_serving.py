@@ -214,6 +214,34 @@ def test_max_batch_must_align_with_mesh():
         make_parallel_service(RES, "data=2", tiny=True, max_batch=3)
 
 
+def test_parallel_service_carries_operating_point_flags():
+    """--mesh data=N must honor the SAME operating-point flags as the
+    single-chip path (they used to be silently dropped: --f32-final-step
+    / --deep-cache-interval / --f32-components never reached the batched
+    program or the base model), and the batched program must build+run
+    with them active."""
+    import jax.numpy as jnp
+
+    from diffusiontexturepainting_tpu.core.config import PipelineConfig
+    from diffusiontexturepainting_tpu.serving.parallel_model import (
+        make_parallel_service,
+    )
+
+    service = make_parallel_service(
+        RES, "data=1", tiny=True, max_batch=2,
+        config=PipelineConfig(f32_final_step=True, deep_cache_interval=2,
+                              deep_cache_min_steps=2),
+        dtype_overrides={"vae_decoder": jnp.float32})
+    assert service.engine.final_step_f32 is True
+    assert service.engine.cache_interval_fn(2) == 2
+    assert service.base._dtype_overrides == {"vae_decoder": jnp.float32}
+
+    rng = np.random.default_rng(6)
+    payloads = [_mk_payload(service, rng, RES, 7)]
+    out = service._run_batch((RES, 2), payloads)  # builds with DC+f32-final
+    assert out[0].shape == (RES, RES, 3)
+
+
 def test_batch_dispatcher_pads_and_scatter():
     """Unit: dispatcher pads a partial batch and scatters per-request
     results in order."""
