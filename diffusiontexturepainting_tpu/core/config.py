@@ -140,10 +140,13 @@ class PipelineConfig:
     seed: int = 42
     # DeepCache-style UNet feature caching: run the full UNet every
     # `deep_cache_interval` steps and only the outermost level in between.
-    # 1 = off (exact parity). An explicit 'FSSF'-style str pins the
-    # full/shallow placement per step instead (applies only to requests
-    # whose step count matches the pattern length). Only applied when the
-    # requested step count is >= deep_cache_min_steps.
+    # 1 = off (exact parity). Uniform intervals apply only when the
+    # requested step count is >= deep_cache_min_steps. An explicit
+    # 'FSSF'-style str pins the full/shallow placement per step instead:
+    # it applies at exactly the step count whose SCHEDULER ITERATION
+    # count matches the pattern length (PNDM runs steps+1 model calls)
+    # and BYPASSES the min-steps gate (an explicit opt-in; see
+    # pipeline/tpu_model.py _cache_interval).
     deep_cache_interval: int | str = 1
     deep_cache_min_steps: int = 8
     # Step-granular f32 promotion (the middle fidelity point between

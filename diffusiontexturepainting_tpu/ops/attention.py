@@ -93,7 +93,7 @@ def attention(q, k, v, num_heads: int, scale: float | None = None,
         from . import conv3x3
 
         use_flash = (
-            conv3x3._FORCE_IMPL != "xla"
+            conv3x3.current_impl() != "xla"
             and q.shape[1] >= _FLASH_MIN_Q_LEN
             and q.shape[1] == k.shape[1]
             and head_dim <= 512

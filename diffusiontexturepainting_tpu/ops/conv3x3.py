@@ -294,14 +294,29 @@ def _conv3x3_pallas(x, w, b, plan, interpret=False, in_pad=None):
     )(xp, w9, b2)
 
 
-# Process-wide dispatch override. Training sets this to "xla": the pallas
+# Scoped dispatch override. Training sets this to "xla": the pallas
 # kernels' custom_vjp re-derives gradients through an f32 XLA conv per
 # call, which measured ~60x slower per train step than letting XLA
 # differentiate its own conv natively (5.9 s vs ~0.1 s at batch 8). The
 # override routes AROUND the custom_vjp wrapper entirely so forward AND
 # backward are plain XLA convs. Serving (no differentiation) leaves it
-# None.
-_FORCE_IMPL = None
+# None. A ContextVar, NOT a module global: the serving process traces
+# programs from several threads at once (the ctor's async warmup
+# thread, the batched-serving executor, tornado session executors), and
+# a plain global let one thread's conv_impl("xla") window leak into a
+# concurrent thread's trace - silently compiling a fused program with
+# XLA convs, or worse, restoring mid-trace so a vmapped batched program
+# picked the Pallas dispatch its kernels cannot lower.
+import contextvars
+
+_FORCE_IMPL_VAR = contextvars.ContextVar("conv3x3_force_impl",
+                                         default=None)
+
+
+def current_impl():
+    """The active scoped dispatch override (None | 'xla' | 'pallas')."""
+    return _FORCE_IMPL_VAR.get()
+
 
 # Route too-big-for-resident upsample-convs to the streamed subpixel
 # kernel (gn_conv_stream.upconv_stream). Isolated per-shape wins
@@ -313,9 +328,9 @@ _UPCONV_STREAM_DISPATCH = False
 
 
 def set_conv_impl(force):
-    """None (auto) | "xla" | "pallas" - see _FORCE_IMPL."""
-    global _FORCE_IMPL
-    _FORCE_IMPL = force
+    """None (auto) | "xla" | "pallas" - see _FORCE_IMPL_VAR. Sets the
+    override for the CURRENT context (thread) only."""
+    _FORCE_IMPL_VAR.set(force)
 
 
 import contextlib  # noqa: E402
@@ -325,16 +340,14 @@ import contextlib  # noqa: E402
 def conv_impl(force):
     """Scoped conv-dispatch override. The override is consulted at TRACE
     time, so enter this inside the function being jitted (the body runs
-    while tracing); the previous impl is restored on exit, so a training
-    trace can no longer leak "xla" dispatch into serving programs traced
-    later in the same process."""
-    global _FORCE_IMPL
-    prev = _FORCE_IMPL
-    _FORCE_IMPL = force
+    while tracing); the previous impl is restored on exit, and the scope
+    is per-context (thread/task), so a trace in one thread can neither
+    leak into nor be clobbered by a concurrent trace in another."""
+    token = _FORCE_IMPL_VAR.set(force)
     try:
         yield
     finally:
-        _FORCE_IMPL = prev
+        _FORCE_IMPL_VAR.reset(token)
 
 
 def _dispatch(x, w, b, force):
@@ -416,14 +429,14 @@ class Conv3x3(nn.Module):
             # declare-only mode for callers that fuse the conv into a
             # larger kernel (gn_silu_conv3x3)
             return kernel, bias
-        if _FORCE_IMPL == "xla":
+        if current_impl() == "xla":
             # bypass the custom_vjp wrapper: native XLA conv + native AD
             return _lax_conv3x3_nat(x.astype(self.dtype),
                                     kernel.astype(self.dtype),
                                     bias.astype(self.dtype))
         return conv3x3(x.astype(self.dtype), kernel.astype(self.dtype),
                        bias.astype(self.dtype),
-                       _FORCE_IMPL or self.force)
+                       current_impl() or self.force)
 
 
 # ---------------------------------------------------------------------------
@@ -883,10 +896,10 @@ def _upconv_vjp(x, w, b, force):
 
 def upsample2x_conv3x3(x, w, b, force="auto"):
     """nearest-2x upsample fused with a 3x3 SAME conv (NHWC)."""
-    if _FORCE_IMPL == "xla":
+    if current_impl() == "xla":
         up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
         return _lax_conv3x3_nat(up, w, b)  # native XLA AD (training)
-    return _upconv_vjp(x, w, b, _FORCE_IMPL or force)
+    return _upconv_vjp(x, w, b, current_impl() or force)
 
 
 def _upconv_fwd(x, w, b, force):

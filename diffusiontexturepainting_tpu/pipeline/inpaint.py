@@ -56,6 +56,26 @@ class StampModels:
     unet_final_apply: Optional[Callable] = None
 
 
+def parse_deep_cache_spec(value):
+    """Parse/validate a DeepCache spec from CLI text: an int interval or
+    an 'F'/'S' pattern starting with 'F'. The single grammar authority
+    for every front-end (serving --deep-cache-interval, bench.py) -
+    length-vs-iterations validation stays in _cache_flags because it
+    needs the scheduler. Raises ValueError on bad input."""
+    if isinstance(value, int):
+        return value
+    try:
+        return int(value)
+    except ValueError:
+        pass
+    pattern = str(value).upper()
+    if not pattern or set(pattern) - {"F", "S"} or pattern[0] != "F":
+        raise ValueError(
+            f"DeepCache spec {value!r}: expected an int interval or an "
+            "'F'/'S' pattern starting with 'F'")
+    return pattern
+
+
 def _cache_flags(deep_cache_interval, n_iters: int):
     """Normalize the DeepCache spec into per-iteration use-cache flags.
 

@@ -62,6 +62,17 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
         params in that dtype. Serving uses a uniform dtype (None)."""
         self._resolution = int(resolution)
         self.config = config or PipelineConfig()
+        if (self.config.f32_final_step
+                and isinstance(self.config.deep_cache_interval, str)
+                and self.config.deep_cache_interval.upper().endswith("S")):
+            # fail at STARTUP, not per-request: the pattern's final step
+            # is shallow, so every request at the pattern's step count
+            # would raise inside the handler (which swallows the error,
+            # leaving the client waiting for a reply that never comes)
+            raise ValueError(
+                f"--f32-final-step requires an 'F'-terminated DeepCache "
+                f"pattern (the final eval must be full to promote it); "
+                f"got {self.config.deep_cache_interval!r}")
         if dtype is None:
             dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
         self.dtype = dtype

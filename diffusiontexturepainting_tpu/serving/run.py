@@ -87,16 +87,11 @@ def _warm_session(model, session_canvas: str, warmup_points=None):
 
 
 def _deep_cache_spec(value: str):
-    """argparse type for --deep-cache-interval: int or 'FSSF' pattern."""
-    try:
-        return int(value)
-    except ValueError:
-        pattern = value.upper()
-        if not pattern or set(pattern) - {"F", "S"} or pattern[0] != "F":
-            raise ValueError(
-                f"--deep-cache-interval {value!r}: expected an int or an "
-                "'F'/'S' pattern starting with 'F'")
-        return pattern
+    """argparse type for --deep-cache-interval: int or 'FSSF' pattern
+    (one shared grammar: pipeline/inpaint.py parse_deep_cache_spec)."""
+    from ..pipeline.inpaint import parse_deep_cache_spec
+
+    return parse_deep_cache_spec(value)
 
 
 def create_server(model=None, resolution: int = 256, debug_dir: str | None = None,
@@ -157,6 +152,11 @@ def create_server(model=None, resolution: int = 256, debug_dir: str | None = Non
     if mesh and mock:
         raise ValueError("--mock cannot combine with --mesh (the mesh "
                          "paths build the real TPU pipeline)")
+    if max_batch and max_batch > 1 and not mesh:
+        raise ValueError("--max-batch requires --mesh data=N (use "
+                         "--mesh data=1 for single-chip request "
+                         "batching); without a mesh it would be "
+                         "silently ignored")
     if mesh and "model" in mesh:
         # CFG-branch model parallelism: ONE painter served by 3 chips
         # (one per guidance branch, parallel/cfg_shard.py). The model

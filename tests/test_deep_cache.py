@@ -139,6 +139,17 @@ def test_pattern_matches_scheduler_iterations():
     assert m._cache_interval(4) == "FSSFS"
 
 
+def test_f32_final_step_rejects_s_terminated_pattern_at_ctor():
+    """An S-terminated pattern + f32_final_step is an invalid CONFIG: it
+    must fail at model construction (startup), not per-request inside
+    the handler (which swallows errors, hanging the client)."""
+    with pytest.raises(ValueError, match="F'-terminated"):
+        TPUConditionalInpainter(
+            resolution=64, tiny=True, warmup=False, verbose_timing=False,
+            config=PipelineConfig(f32_final_step=True,
+                                  deep_cache_interval="FSFS"))
+
+
 def test_f32_final_step_with_uniform_interval(cached_model):
     """f32_final_step composes with a UNIFORM DeepCache interval even
     when n_iters % interval == 0 (the derived pattern used to anchor
@@ -187,9 +198,9 @@ def test_f32_final_step_pipeline(cached_model):
                   deep_cache_interval="FSSF").generate_raw(canvas, steps=4)
     assert combo.shape == plain.shape
 
-    with pytest.raises(ValueError, match="final step"):
-        m = build(f32_final_step=True, deep_cache_interval="FFFS")
-        m.generate_raw(canvas, steps=4)
+    # rejected at CONSTRUCTION now (startup validation), not per-request
+    with pytest.raises(ValueError, match="F'-terminated"):
+        build(f32_final_step=True, deep_cache_interval="FFFS")
 
     engine = cached_model.engine
     with pytest.raises(ValueError, match="unet_final_apply"):

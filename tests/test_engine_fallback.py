@@ -110,7 +110,7 @@ def test_safe_trace_uses_xla_conv_dispatch():
 
     def make_safe():
         def safe(x):
-            seen["impl"] = c3._FORCE_IMPL
+            seen["impl"] = c3.current_impl()
             return x
         return safe
 
@@ -118,4 +118,4 @@ def test_safe_trace_uses_xla_conv_dispatch():
     guarded(jnp.float32(1.0))
     assert seen["impl"] == "xla"
     # and the override did not leak out of the trace
-    assert c3._FORCE_IMPL is None
+    assert c3.current_impl() is None
