@@ -29,13 +29,11 @@ class ParallelStampEngine:
     models under conv_impl("xla"). A UNet-only-fused variant (Pallas
     kernels in the UNet, XLA VAE) was probed and is NOT viable on this
     toolchain: the vmapped fused UNet's compile crashed the remote
-    compile service after ~25 min (broken pipe). The measured ceiling
-    makes further batching work moot at the flagship point anyway:
-    batch-4 = 1.00x batch-1 stamps/s/chip at 512/4 (bench.py
-    --concurrent 4) - the stamp is COMPUTE-bound at 82-85% UNet MFU, so
-    batching adds FLOPs linearly; this surface is the reference's
-    batch-1..16 envelope parity and a latency-sharing knob, not a
-    throughput lever. The safe twin is required for EVERY data=N
+    compile service after ~25 min (broken pipe). Measured throughput
+    (bench.py --concurrent 4): 1.24x stamps/s/chip at the reference's
+    256/20 envelope point (32^2-latent matmuls leave MXU headroom the
+    batch fills); 1.00x at 512/4, where the stamp is COMPUTE-bound at
+    82-85% UNet MFU and batching adds FLOPs linearly. The safe twin is required for EVERY data=N
     program, not just per-chip batching: SPMD partitioning keeps the
     vmapped batch rank (each chip's local block is (1, ...), the
     leading dim is not dropped), so the Pallas lowering failure applies

@@ -119,3 +119,46 @@ def test_safe_trace_uses_xla_conv_dispatch():
     assert seen["impl"] == "xla"
     # and the override did not leak out of the trace
     assert c3.current_impl() is None
+
+
+def test_conv_impl_is_thread_isolated():
+    """The scoped conv-dispatch override is a ContextVar: the serving
+    process traces programs from several threads at once (ctor async
+    warmup, batched-serving executor, tornado session executors), and a
+    conv_impl("xla") window in one thread must be invisible to a
+    concurrent trace in another (a module global leaked it - xhigh
+    round-5 review finding)."""
+    import threading
+    import time
+
+    from diffusiontexturepainting_tpu.ops import conv3x3 as c3
+    from diffusiontexturepainting_tpu.ops.conv3x3 import conv_impl
+
+    inside = threading.Event()
+    release = threading.Event()
+    seen = {}
+
+    def holder():
+        with conv_impl("xla"):
+            inside.set()
+            release.wait(10)
+
+    def observer():
+        inside.wait(10)
+        seen["observer"] = c3.current_impl()
+        with conv_impl("pallas"):
+            seen["observer_scoped"] = c3.current_impl()
+        seen["observer_after"] = c3.current_impl()
+        release.set()
+
+    th1 = threading.Thread(target=holder)
+    th2 = threading.Thread(target=observer)
+    th1.start(); th2.start()
+    th1.join(15); th2.join(15)
+
+    # the holder's "xla" window never leaked into the observer thread,
+    # the observer's own scope worked, and nothing leaked to this thread
+    assert seen["observer"] is None
+    assert seen["observer_scoped"] == "pallas"
+    assert seen["observer_after"] is None
+    assert c3.current_impl() is None
