@@ -119,8 +119,26 @@ class Engine:
         self._session_stamp: Dict[Tuple[int, int, int], callable] = {}
         self._session_erase: Dict[int, callable] = {}
         self._session_stroke: Dict[Tuple[int, int, int], callable] = {}
+        # Program-cache population lock: mesh serving dispatches session
+        # requests from tornado's multi-thread executor, so two painters'
+        # first strokes can race the check-then-insert below - each would
+        # build its OWN jax.jit object and pay a full duplicate XLA
+        # compile (~minutes at 512px). Under the lock both threads share
+        # one jit object, whose first concurrent calls serialize the
+        # compile inside jax.
+        import threading
+
+        self._build_lock = threading.Lock()
         if persistent_cache:
             enable_persistent_cache()
+
+    def _cached(self, cache: dict, key, build):
+        """Thread-safe check-then-insert for a program cache."""
+        if key not in cache:
+            with self._build_lock:
+                if key not in cache:
+                    cache[key] = build()
+        return cache[key]
 
     def _guard(self, jitted, make_safe_fn, label: str, safe_jit=jax.jit):
         """Wrap a jitted program with a one-shot scoped-VMEM fallback:
@@ -163,7 +181,8 @@ class Engine:
     def stamp_fn(self, resolution: int, steps: int,
                  deep_cache_interval=1):
         key = (int(resolution), int(steps), _interval_key(deep_cache_interval))
-        if key not in self._stamp:
+
+        def build():
             fn = make_stamp_fn(self.models, self.scheduler_name, key[1],
                                deep_cache_interval=key[2],
                                final_step_f32=self.final_step_f32)
@@ -171,9 +190,9 @@ class Engine:
                 self.safe_models, self.scheduler_name, key[1],
                 deep_cache_interval=key[2],
                 final_step_f32=self.final_step_f32)
-            self._stamp[key] = self._guard(
-                jax.jit(fn), make_safe, f"stamp {key}")
-        return self._stamp[key]
+            return self._guard(jax.jit(fn), make_safe, f"stamp {key}")
+
+        return self._cached(self._stamp, key, build)
 
     def session_stamp_fn(self, resolution: int, steps: int,
                          deep_cache_interval=1):
@@ -184,7 +203,8 @@ class Engine:
         (H, W) automatically; one cache entry per (res, steps, interval)
         covers every canvas size."""
         key = (int(resolution), int(steps), _interval_key(deep_cache_interval))
-        if key not in self._session_stamp:
+
+        def build():
             fn = make_session_stamp_fn(
                 self.models, self.scheduler_name, key[1],
                 deep_cache_interval=key[2],
@@ -193,11 +213,12 @@ class Engine:
                 self.safe_models, self.scheduler_name, key[1],
                 deep_cache_interval=key[2],
                 final_step_f32=self.final_step_f32)
-            self._session_stamp[key] = self._guard(
+            return self._guard(
                 jax.jit(fn, donate_argnums=(1,)), make_safe,
                 f"session stamp {key}",
                 safe_jit=lambda f: jax.jit(f, donate_argnums=(1,)))
-        return self._session_stamp[key]
+
+        return self._cached(self._session_stamp, key, build)
 
     def session_stroke_fn(self, resolution: int, steps: int,
                           deep_cache_interval=1):
@@ -207,7 +228,8 @@ class Engine:
         (canvas shape, K) from one cache entry per (res, steps,
         interval); the canvas (argnum 1) is donated."""
         key = (int(resolution), int(steps), _interval_key(deep_cache_interval))
-        if key not in self._session_stroke:
+
+        def build():
             fn = make_session_stroke_fn(
                 self.models, self.scheduler_name, key[1],
                 deep_cache_interval=key[2],
@@ -216,29 +238,38 @@ class Engine:
                 self.safe_models, self.scheduler_name, key[1],
                 deep_cache_interval=key[2],
                 final_step_f32=self.final_step_f32)
-            self._session_stroke[key] = self._guard(
+            return self._guard(
                 jax.jit(fn, donate_argnums=(1,)), make_safe,
                 f"session stroke {key}",
                 safe_jit=lambda f: jax.jit(f, donate_argnums=(1,)))
-        return self._session_stroke[key]
+
+        return self._cached(self._session_stroke, key, build)
 
     def session_erase_fn(self, resolution: int):
         """Resident-canvas erase program (no model, no VMEM risk)."""
         key = int(resolution)
-        if key not in self._session_erase:
-            self._session_erase[key] = jax.jit(
-                make_session_erase_fn(key), donate_argnums=(0,))
-        return self._session_erase[key]
+        return self._cached(
+            self._session_erase, key,
+            lambda: jax.jit(make_session_erase_fn(key), donate_argnums=(0,)))
 
     def preview_fn(self, resolution: int, steps: int):
+        """Device-side brush-preview program (quadrant-known canvas built
+        ON DEVICE, make_preview_fn). NOT the serving default: the ws
+        preview path (serving/handler.py _brush_preview_reply) builds the
+        context on host and reuses the already-warm stamp program, so a
+        brush change never pays a separate preview-program cold compile
+        (~minutes on a cold cache). This program is the tested
+        alternative for deployments that warm it ahead of time and want
+        to skip the preview canvas upload."""
         key = (int(resolution), int(steps))
-        if key not in self._preview:
+
+        def build():
             fn = make_preview_fn(self.models, self.scheduler_name, key[1])
             make_safe = lambda: make_preview_fn(
                 self.safe_models, self.scheduler_name, key[1])
-            self._preview[key] = self._guard(
-                jax.jit(fn), make_safe, f"preview {key}")
-        return self._preview[key]
+            return self._guard(jax.jit(fn), make_safe, f"preview {key}")
+
+        return self._cached(self._preview, key, build)
 
     def warmup(self, params, cond_shape, points, brush_resolution: int,
                uncond_dtype=None):

@@ -335,7 +335,7 @@ def make_preview_fn(models: StampModels, scheduler_name: str, num_steps: int):
 
     def preview(params, brush, cond, uncond, rng, counter, cfg_weight,
                 tg_weight, tg_steps, context_pad):
-        b, res = brush.shape[0], brush.shape[1]
+        res = brush.shape[1]
         center = res // 2
         yy = jnp.arange(res)[:, None] < center
         xx = jnp.arange(res)[None, :] < center

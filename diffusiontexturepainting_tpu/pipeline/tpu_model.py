@@ -62,17 +62,7 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
         params in that dtype. Serving uses a uniform dtype (None)."""
         self._resolution = int(resolution)
         self.config = config or PipelineConfig()
-        if (self.config.f32_final_step
-                and isinstance(self.config.deep_cache_interval, str)
-                and self.config.deep_cache_interval.upper().endswith("S")):
-            # fail at STARTUP, not per-request: the pattern's final step
-            # is shallow, so every request at the pattern's step count
-            # would raise inside the handler (which swallows the error,
-            # leaving the client waiting for a reply that never comes)
-            raise ValueError(
-                f"--f32-final-step requires an 'F'-terminated DeepCache "
-                f"pattern (the final eval must be full to promote it); "
-                f"got {self.config.deep_cache_interval!r}")
+        self._validate_deep_cache(self.config)
         if dtype is None:
             dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
         self.dtype = dtype
@@ -453,6 +443,22 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
                             .set_timesteps(steps).num_iterations())
         return cache[steps]
 
+    @staticmethod
+    def _validate_deep_cache(config) -> None:
+        """Reject configs whose every matching request would fail inside
+        the request path (the handler swallows errors, leaving the
+        client waiting forever): f32_final_step requires the pattern's
+        final step to be a full eval. Checked at construction AND at
+        set_deep_cache (the runtime switch must not reintroduce the
+        per-request failure the startup check exists to prevent)."""
+        if (config.f32_final_step
+                and isinstance(config.deep_cache_interval, str)
+                and config.deep_cache_interval.upper().endswith("S")):
+            raise ValueError(
+                f"--f32-final-step requires an 'F'-terminated DeepCache "
+                f"pattern (the final eval must be full to promote it); "
+                f"got {config.deep_cache_interval!r}")
+
     def set_deep_cache(self, interval, min_steps: int | None = None) -> None:
         """Switch the DeepCache operating point at runtime. Compiled
         programs are keyed per interval/pattern, so switching never
@@ -462,7 +468,9 @@ class TPUConditionalInpainter(ConditionalInpainterBase):
         kw = dict(deep_cache_interval=interval)
         if min_steps is not None:
             kw["deep_cache_min_steps"] = min_steps
-        self.config = dataclasses.replace(self.config, **kw)
+        new_config = dataclasses.replace(self.config, **kw)
+        self._validate_deep_cache(new_config)
+        self.config = new_config
 
     def warmup(self, points) -> dict:
         """AOT-compile (or cache-load) the given (resolution, steps[,

@@ -190,11 +190,18 @@ async def handle_request_bytes_async(model, raw_message: bytes,
         _debug_dump(debug_dir, "brush_prompt", brush=brush)
         return await _brush_preview_reply_async(model, settings)
 
-    if msg_type >= server_io.RequestType.BEGIN_SESSION.value:
+    if (server_io.RequestType.BEGIN_SESSION.value <= msg_type
+            <= server_io.RequestType.END_SESSION.value):
         # Stroke sessions in --mesh mode pin each connection to one chip
         # (parallel_model.py SessionModel): run the (possibly blocking)
         # fetch/stamp in the default executor so other painters' strokes
-        # keep flowing through the IOLoop.
+        # keep flowing through the IOLoop. Bounded to the session
+        # REQUEST range: an unbounded >= check routed stray RETURN_*
+        # frame types (>= 21) here, where _handle_session_request
+        # returns None and the caller would write_message(None).
+        # (The websocket path normally routes sessions through
+        # _handle_session_bytes before reaching this; this branch serves
+        # direct callers of the async twin.)
         if not hasattr(model, "begin_session"):
             raise NotImplementedError(
                 "this serving model does not support stroke sessions")

@@ -246,6 +246,15 @@ class ParallelInpainterService:
             safe_models=base.engine.safe_models,
             final_step_f32=base.config.f32_final_step,
             cache_interval_fn=base._cache_interval)
+        # Stage the params onto the mesh ONCE (replicated): the batched
+        # program's in_shardings replicate over the data axis, and jit
+        # does not cache cross-call input reshards - passing the
+        # base model's single-device tree per dispatch would re-broadcast
+        # the full weights to every chip on every micro-batch.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self._batch_params = jax.device_put(
+            base.params, NamedSharding(mesh, P()))
         max_batch = max_batch or self.data_size
         if max_batch % self.data_size:
             raise ValueError(f"max_batch {max_batch} must be a multiple of "
@@ -334,7 +343,7 @@ class ParallelInpainterService:
         stack = lambda f: np.stack([f(p) for p in padded])
         base_key = np.asarray(self.base._base_key)
         raw, comp = self.engine.stamp_batch(
-            self.base.params,
+            self._batch_params,
             stack(lambda p: p["canvas"][None]),
             stack(lambda p: p["brush"][None]),
             stack(lambda p: np.asarray(p["cond"])),

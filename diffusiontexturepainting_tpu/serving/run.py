@@ -39,10 +39,24 @@ class InpaintHTTPHandler(tornado.web.RequestHandler):
         self.debug_dir = debug_dir
 
     def post(self):
+        from . import server_io
         from .handler import handle_request_bytes
 
+        body = self.request.body
+        R = server_io.RequestType
+        if body and R.BEGIN_SESSION.value <= body[0] <= R.END_SESSION.value:
+            # stroke sessions are CONNECTION-scoped state (resident
+            # canvas owned by one websocket, enforced in
+            # handler._handle_session_bytes); routing them through the
+            # stateless HTTP endpoint would bypass that ownership guard
+            # and silently clobber a painter's in-flight stroke
+            self.set_status(400)
+            self.write({"error": "stroke-session requests require the "
+                                 "websocket transport (sessions are "
+                                 "connection-scoped)"})
+            return
         try:
-            reply = handle_request_bytes(self.model, self.request.body,
+            reply = handle_request_bytes(self.model, body,
                                          debug_dir=self.debug_dir)
         except Exception as e:  # noqa: BLE001 - report protocol errors
             self.set_status(400)
@@ -64,7 +78,10 @@ def _warm_session(model, session_canvas: str, warmup_points=None):
     import numpy as np
 
     w, h = (int(v) for v in session_canvas.lower().split("x"))
-    steps_list = [None] + sorted({int(s) for (_r, s) in (warmup_points or [])})
+    # warmup points may carry a third DeepCache-interval field
+    # (RESxSTEPSxINTERVAL, consumed by model.warmup) - take steps by
+    # index instead of 2-tuple unpacking
+    steps_list = [None] + sorted({int(p[1]) for p in (warmup_points or [])})
     buckets = getattr(model, "_STROKE_BUCKETS", None)
     logger.info("warming session programs for a %dx%d canvas "
                 "(step counts: %s, K buckets: %s)...", w, h,
@@ -277,9 +294,11 @@ def run_main(argv=None):
                              "of the bf16 pixel tail - README fidelity "
                              "table)")
     parser.add_argument("--warmup-points", type=str, default=None,
-                        help="comma list of RESOLUTIONxSTEPS operating points "
-                             "to compile at startup, e.g. '256x20,512x4' "
-                             "(the analog of TRT optimization profiles)")
+                        help="comma list of RESOLUTIONxSTEPS[xINTERVAL] "
+                             "operating points to compile at startup, e.g. "
+                             "'256x20,512x4' or '512x4x2' (the analog of "
+                             "TRT optimization profiles; the optional third "
+                             "field is a DeepCache interval)")
     parser.add_argument("--mesh", type=str, default=None,
                         help="multi-chip serving: 'data=8' micro-batches "
                              "concurrent sessions into one SPMD stamp "

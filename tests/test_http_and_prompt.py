@@ -83,6 +83,22 @@ def test_http_bad_request_is_400_not_fatal(mock_server):
     test_http_stamp_roundtrip(mock_server)
 
 
+def test_http_rejects_session_requests(mock_server):
+    """Stroke sessions are connection-scoped (resident canvas owned by
+    one websocket, enforced in handler._handle_session_bytes); the
+    stateless HTTP endpoint must reject them instead of bypassing the
+    ownership guard and clobbering a painter's in-flight stroke."""
+    canvas = np.zeros((64, 64, 4), np.uint8)
+    body = server_io.encode_begin_session_request(canvas, **SETTINGS)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{mock_server}/inpaint", data=bytes(body))
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        urllib.request.urlopen(req, timeout=30)
+    assert exc_info.value.code == 400
+    assert b"websocket" in exc_info.value.read()
+    test_http_stamp_roundtrip(mock_server)  # server still alive
+
+
 def test_prompt_codec_roundtrip():
     msg = server_io.encode_brush_prompt_request("mossy stone", **SETTINGS)
     meta, settings, off = server_io.decode_request_metadata(msg)
