@@ -63,8 +63,14 @@ def generate_brush_from_prompt(prompt: str, api_key: str,
 
 def procedural_brush(prompt: str, size: int = 256) -> np.ndarray:
     """Deterministic offline fallback: a colored-noise texture seeded by
-    the prompt, so UI flows can be exercised without network access."""
-    seed = abs(hash(prompt)) % (2**32)
+    the prompt, so UI flows can be exercised without network access.
+    Seeded via sha256, NOT hash(): the builtin str hash is salted per
+    process (PYTHONHASHSEED), which silently broke the documented
+    same-prompt-same-texture determinism across runs."""
+    import hashlib
+
+    seed = int.from_bytes(
+        hashlib.sha256(prompt.encode("utf-8")).digest()[:4], "little")
     rng = np.random.default_rng(seed)
     base = rng.random((size // 8, size // 8, 3))
     img = np.kron(base, np.ones((8, 8, 1)))

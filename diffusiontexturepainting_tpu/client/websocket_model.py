@@ -56,8 +56,13 @@ class WebsocketConditionalInpainter(ConditionalInpainterBase):
         canvas = ensure_float01(canvas)
         # Empty-mask short-circuit: nothing painted yet means the brush image
         # IS the answer; skip the server round-trip (reference Kit
-        # inference/websocket_model.py:71-75).
-        if self._pending_brush is None and self.image is not None and \
+        # inference/websocket_model.py:71-75). Applies even while a brush
+        # send is still DEFERRED - the reference returns the local brush
+        # unconditionally on an empty mask and leaves the NEW_BRUSH_IMAGE
+        # send pending for the first real stamp (gating on the pending
+        # send forced a server round-trip, potentially a first-compile
+        # stall, and returned the quadrant preview instead of the brush).
+        if self.image is not None and \
                 float(canvas[..., 3].max(initial=0.0)) == 0.0:
             return self.image.copy()
 
@@ -179,6 +184,8 @@ class WebsocketConditionalInpainter(ConditionalInpainterBase):
         image from the prompt (hosted txt2img or procedural fallback) and
         replies with a preview. Completes protocol type 1, which the
         reference declares but never serves (server_io.py:19-24)."""
+        self._drain_acks()  # in-flight stroke acks must not pair with
+        # the preview reply (every other synchronizing call drains first)
         req = server_io.encode_brush_prompt_request(prompt, **settings)
         self.ws.send(req)
         resp = server_io.decode_response(self.ws.recv())

@@ -30,11 +30,15 @@ def register_scheduler(name: str, cls):
 
 def make_scheduler(name: str, **kwargs):
     try:
-        return _REGISTRY[name](**kwargs)
+        cls = _REGISTRY[name]
     except KeyError:
         raise ValueError(
             f"Unknown scheduler {name!r}; available: {sorted(_REGISTRY)}"
         ) from None
+    # constructed OUTSIDE the except: a KeyError raised inside a
+    # scheduler's __init__ must surface as itself, not be misreported
+    # as an unknown-scheduler error with its traceback suppressed
+    return cls(**kwargs)
 
 
 def available_schedulers():

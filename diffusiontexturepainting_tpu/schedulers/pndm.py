@@ -117,13 +117,19 @@ class PNDMScheduler(Scheduler):
         w = row["w"]
         eff = w[0] * model_output + jnp.tensordot(w[1:], ets, axes=1)
 
+        # Cached-sample substitution BEFORE the v-prediction conversion:
+        # the reference assigns `sample = self.cur_sample` on the repeated
+        # (counter==1) call ahead of the conversion (utilities.py:
+        # 1095-1098 then 1106-1107), so the conversion's sample term must
+        # use the cached pre-step-0 latents too, not just the x_prev term.
+        s = (row["use_cached"] * state["cached_sample"]
+             + (1.0 - row["use_cached"]) * sample)
+
         if self.prediction_type == "v_prediction":
-            eff = jnp.sqrt(row["ac"]) * eff + jnp.sqrt(row["beta_c"]) * sample
+            eff = jnp.sqrt(row["ac"]) * eff + jnp.sqrt(row["beta_c"]) * s
         elif self.prediction_type != "epsilon":
             raise ValueError(self.prediction_type)
 
-        s = (row["use_cached"] * state["cached_sample"]
-             + (1.0 - row["use_cached"]) * sample)
         prev = (row["sample_coeff"] * s
                 - (row["ac_prev"] - row["ac"]) * eff / row["denom"])
 

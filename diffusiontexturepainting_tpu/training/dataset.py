@@ -148,6 +148,20 @@ class AugmentedTextures:
         x = self.rng.randint(0, arr.shape[1] - s)
         y = self.rng.randint(0, arr.shape[0] - s)
         cond_img = arr[y : y + s, x : x + s]
+        if self.augment:
+            # --augment_data: extra augmentation of the CONDITIONING crop
+            # only - RandomCrop (above) + RandomRotation(10) +
+            # GaussianBlur(kernel 3), matching the reference's augment
+            # transform stack (reference training/dataset.py:106-113;
+            # torchvision's kernel-3 blur draws sigma ~ U(0.1, 2.0))
+            from PIL import ImageFilter
+
+            pil = Image.fromarray(
+                (np.clip(cond_img, 0, 1) * 255).astype(np.uint8))
+            pil = pil.rotate(rng.uniform(-10, 10), resample=Image.BILINEAR)
+            pil = pil.filter(ImageFilter.GaussianBlur(
+                radius=rng.uniform(0.1, 2.0)))
+            cond_img = _to_float(pil)
 
         patches = []
         for p in self.cond_patch_size:

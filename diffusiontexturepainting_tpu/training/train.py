@@ -28,6 +28,34 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+def _prefetch(it, depth: int = 2):
+    """Background-thread batch prefetch (bounded queue): the next
+    batch's host-side prep runs while the device executes the current
+    step. Worker exceptions are re-raised at the consuming site."""
+    import queue
+    import threading
+
+    q = queue.Queue(maxsize=depth)
+    _end = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(_end)
+        except BaseException as e:  # noqa: BLE001 - surface in main thread
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _end:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def build_argparser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--images_path", required=True)
@@ -235,7 +263,13 @@ def main(argv=None):
     # start= replays the exact batch sequence from the resume point
     # (reference train...py:643-646 skips dataloader steps; here the data
     # stream is a pure function of (seed, batch index) so this is O(1)).
-    it = dataset.batches(args.train_batch_size, start=start_step)
+    # _prefetch overlaps host-side sample prep (PIL decode, augmentation,
+    # 14 patch resizes, mask rasterization per sample) with the device
+    # step - the reference gets the same overlap from DataLoader
+    # num_workers; without it the accelerator idles for the whole batch
+    # prep between steps. Determinism/resume are unaffected: the stream
+    # stays a pure function of (seed, batch index).
+    it = _prefetch(dataset.batches(args.train_batch_size, start=start_step))
     # validation cadence: explicit --validation_steps wins; otherwise
     # every --validation_epochs epochs (the reference validates per
     # epoch, train...py:749-782).

@@ -354,11 +354,15 @@ def _torch_attn_path_to_ours(name: str) -> str:
 
 
 def _torch_load(path: str) -> StateDict:
+    # weights_only=True refuses to unpickle module objects, so the result
+    # is always a plain state_dict (the reference saves image_encoder.pth
+    # that way, train_texture_inpaint_lora.py); a full-module pickle
+    # fails AT torch.load with an UnpicklingError telling the operator to
+    # re-save as a state_dict - deliberately not retried with
+    # weights_only=False (arbitrary code execution from the checkpoint).
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=True)
-    if hasattr(obj, "state_dict"):
-        obj = obj.state_dict()
     return {k: v.float().numpy() for k, v in obj.items()}
 
 

@@ -30,6 +30,10 @@ def flatten_params(params, prefix=""):
         path = f"{prefix}/{k}" if prefix else k
         if isinstance(v, dict):
             out.update(flatten_params(v, path))
+        elif isinstance(v, jax.ShapeDtypeStruct):
+            # shape-reference trees from jax.eval_shape (loader
+            # validation) - only .shape is consulted
+            out[path] = v
         else:
             out[path] = np.asarray(v)
     return out
@@ -104,18 +108,29 @@ def load_text_encoder(checkpoint_dir: str, reference=None):
 def load_pipeline_params(checkpoint_dir: str, unet, vae_encoder, vae_decoder,
                          patch_encoder, validate: bool = True):
     """Load all components; falls back to seeded random init for any
-    component whose file is absent (logged)."""
-    from .random_init import init_pipeline_params
+    component whose file is absent (logged).
 
-    random_params = init_pipeline_params(unet, vae_encoder, vae_decoder,
-                                         patch_encoder, resolution=64)
+    Validation references come from jax.eval_shape (pure host tracing) -
+    a complete checkpoint dir loads without compiling or executing a
+    single init program (the old path random-initialized the whole
+    860M-param pipeline just to read its shapes)."""
+    from .random_init import init_pipeline_params, pipeline_param_shapes
+
+    shape_refs = (pipeline_param_shapes(unet, vae_encoder, vae_decoder,
+                                        patch_encoder)
+                  if validate else None)
+    missing = [name for name in COMPONENTS if not os.path.exists(
+        os.path.join(checkpoint_dir, f"{name}.npz"))]
+    random_params = (init_pipeline_params(
+        unet, vae_encoder, vae_decoder, patch_encoder, resolution=64,
+        only=missing) if missing else {})
     params = {}
     for name in COMPONENTS:
         path = os.path.join(checkpoint_dir, f"{name}.npz")
-        if os.path.exists(path):
+        if name not in missing:
             loaded = load_component(path)
             if validate:
-                _validate(name, loaded, random_params[name])
+                _validate(name, loaded, shape_refs[name])
             params[name] = loaded
             logger.info("loaded %s from %s", name, path)
         else:

@@ -266,6 +266,58 @@ def test_pndm_matches_oracle(n):
     np.testing.assert_allclose(ours, x_ref, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.parametrize("n", [6, 10])
+def test_pndm_v_prediction_matches_oracle(n):
+    """v_prediction PNDM: the reference substitutes the CACHED sample on
+    the repeated (counter==1) call BEFORE the v->eps conversion
+    (utilities.py:1095-1098 then 1106-1107), so the conversion's sample
+    term uses the pre-step-0 latents too."""
+    sched = make_scheduler(
+        "PNDM", prediction_type="v_prediction").set_timesteps(n)
+    ac = _ac(0.00085, 0.012)
+    final = ac[0]
+    ratio = N // n
+    base = (np.arange(n) * ratio).round().astype(np.int64)
+    plms = np.concatenate([base[:-1], base[-2:-1], base[-1:]])[::-1]
+    ac_prev_full = np.roll(ac, ratio)
+    ac_prev_full[:ratio] = final
+
+    rng = np.random.default_rng(3)
+    shape = (1, 4, 4, 2)
+    x = rng.standard_normal(shape).astype(np.float32)
+
+    x_ref = x.astype(np.float64)
+    ets, counter, cur_sample = [], 0, None
+    for t in plms:
+        v = fake_model(x_ref, float(t))
+        sample = x_ref
+        if counter != 1:
+            ets = ets[-3:]
+            ets.append(v)
+        if len(ets) == 1 and counter == 0:
+            out = v
+            cur_sample = sample
+        elif len(ets) == 1 and counter == 1:
+            out = (v + ets[-1]) / 2
+            sample = cur_sample  # BEFORE the conversion below
+        elif len(ets) == 2:
+            out = (3 * ets[-1] - ets[-2]) / 2
+        elif len(ets) == 3:
+            out = (23 * ets[-1] - 16 * ets[-2] + 5 * ets[-3]) / 12
+        else:
+            out = (55 * ets[-1] - 59 * ets[-2] + 37 * ets[-3]
+                   - 9 * ets[-4]) / 24
+        a_t, a_prev = ac[t], ac_prev_full[t]
+        out = np.sqrt(a_t) * out + np.sqrt(1 - a_t) * sample
+        coeff = np.sqrt(a_prev / a_t)
+        denom = a_t * np.sqrt(1 - a_prev) + np.sqrt(a_t * (1 - a_t) * a_prev)
+        x_ref = coeff * sample - (a_prev - a_t) * out / denom
+        counter += 1
+
+    ours = _run_ours(sched, x)
+    np.testing.assert_allclose(ours, x_ref, rtol=2e-3, atol=2e-4)
+
+
 @pytest.mark.parametrize("n", [4, 10])
 def test_lms_matches_oracle(n):
     from scipy import integrate
