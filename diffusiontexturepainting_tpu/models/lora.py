@@ -85,11 +85,9 @@ def merge_lora(unet_params, lora_params, scale: float = 1.0):
         leaf["kernel"] = leaf["kernel"] + scale * delta
         node[path[-1]] = leaf
 
-    # shallow-copy the nested dict along modified paths
-    import copy
-
-    merged = jax.tree_util.tree_map(lambda x: x, unet_params)  # leaf-copy refs
-    merged = _deep_copy_dicts(merged)
+    # rebuild the dict spine so apply_delta's in-place writes never
+    # mutate the caller's tree (leaves are shared by reference)
+    merged = _deep_copy_dicts(unet_params)
     for name, factors in lora_params.items():
         path = flat.get(name)
         if path is None:
@@ -99,7 +97,11 @@ def merge_lora(unet_params, lora_params, scale: float = 1.0):
 
 
 def _deep_copy_dicts(tree):
-    if isinstance(tree, dict):
+    # Mapping (not just dict) so flax FrozenDict trees become mutable
+    # plain dicts instead of opaque leaves apply_delta cannot write into
+    from collections.abc import Mapping
+
+    if isinstance(tree, Mapping):
         return {k: _deep_copy_dicts(v) for k, v in tree.items()}
     return tree
 

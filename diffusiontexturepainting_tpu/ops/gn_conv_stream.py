@@ -688,12 +688,33 @@ def _fwd(x, a, c, w, b, residual, want_stats, apply_gn, force, in_w,
 
 
 def _bwd(want_stats, apply_gn, force, in_w, out_wpad, res_wpad, res, g):
-    x, a, c, w, b, residual = res
-    args = (x, a, c, w, b, residual)
-    _, vjp = jax.vjp(
-        lambda *aa: _reference(*aa, want_stats, apply_gn, in_w, out_wpad,
-                               res_wpad), *args)
-    return vjp(g)
+    # Backward runs entirely in f32, mirroring conv3x3._conv3x3_bwd: the
+    # transpose rule of a preferred_element_type=f32 conv over bf16
+    # operands mixes dtypes (lax.conv requires them equal), so under
+    # mixed precision the re-derivation must not see bf16 primals.
+    # Grads are cast back to each primal's dtype. Only the ARRAY primals
+    # are differentiated - optional args (b, residual, the GN affine)
+    # may be None, which jax.vjp cannot take as a positional input.
+    args = res  # (x, a, c, w, b, residual)
+    arr_idx = [i for i, v in enumerate(args) if v is not None]
+    f32 = [args[i].astype(jnp.float32)
+           if jnp.issubdtype(args[i].dtype, jnp.floating) else args[i]
+           for i in arr_idx]
+
+    def fn(*aa):
+        full = list(args)
+        for i, v in zip(arr_idx, aa):
+            full[i] = v
+        return _reference(*full, want_stats, apply_gn, in_w, out_wpad,
+                          res_wpad)
+
+    _, vjp = jax.vjp(fn, *f32)
+    g32 = jax.tree_util.tree_map(lambda t: t.astype(jnp.float32), g)
+    arr_grads = vjp(g32)
+    grads = [None] * len(args)
+    for i, gr in zip(arr_idx, arr_grads):
+        grads[i] = gr.astype(args[i].dtype)
+    return tuple(grads)
 
 
 gn_conv_stream.defvjp(_fwd, _bwd)

@@ -60,13 +60,16 @@ def _pick_hb(h: int, w: int, c: int, itemsize: int = 2):
     return 8 if h % 8 == 0 else None
 
 
-def stats_plan(x_shape, min_bytes: int = _MIN_BYTES):
+def stats_plan(x_shape, min_bytes: int = _MIN_BYTES, itemsize: int = 2):
+    """`itemsize` must be the INPUT dtype's: budgeting f32 shapes with
+    bf16 sizes accepts plans whose (1, hb, W, C) block is 2x the VMEM
+    budget (same bug class conv3x3.gn_conv_resident_plan fixed)."""
     if len(x_shape) != 4:
         return None
     B, H, W, C = x_shape
-    if C % 128 != 0 or B * H * W * C * 2 < min_bytes:
+    if C % 128 != 0 or B * H * W * C * itemsize < min_bytes:
         return None
-    return _pick_hb(H, W, C)
+    return _pick_hb(H, W, C, itemsize)
 
 
 def _stats_pallas(x, hb, interpret=False):
@@ -100,11 +103,11 @@ def _stats_dispatch(x, force):
     if force == "xla":
         return _stats_reference(x)
     if force == "pallas":
-        plan = stats_plan(x.shape, min_bytes=0)
+        plan = stats_plan(x.shape, min_bytes=0, itemsize=x.dtype.itemsize)
         if plan is None:
             raise ValueError(f"pallas groupnorm stats unsupported for {x.shape}")
         return _stats_pallas(x, plan, interpret=(backend != "tpu"))
-    plan = stats_plan(x.shape)
+    plan = stats_plan(x.shape, itemsize=x.dtype.itemsize)
     if plan is not None and backend == "tpu":
         return _stats_pallas(x, plan)
     return _stats_reference(x)

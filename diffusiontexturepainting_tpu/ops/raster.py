@@ -56,7 +56,6 @@ def rasterize(height: int, width: int, face_features, face_vertices_z,
     w0 = edge(v1, v2, p)
     w1 = edge(v2, v0, p)
     w2 = edge(v0, v1, p)
-    area = edge(v1, v2, v0[None, :, 0:2].reshape(-1, 2))  # not used; compute directly
     area = (v1 - v0)[:, 0] * (v2 - v0)[:, 1] - (v1 - v0)[:, 1] * (v2 - v0)[:, 0]
     area = jnp.where(jnp.abs(area) < 1e-12, 1e-12, area)
 

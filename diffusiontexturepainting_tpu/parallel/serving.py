@@ -55,6 +55,9 @@ class ParallelStampEngine:
         self.final_step_f32 = final_step_f32
         self.cache_interval_fn = cache_interval_fn or (lambda steps: 1)
         self._fns = {}
+        import threading
+
+        self._build_lock = threading.Lock()
 
     def _build(self, resolution: int, steps: int):
         models = self.safe_models or self.models
@@ -87,9 +90,15 @@ class ParallelStampEngine:
         return fn
 
     def stamp_fn(self, resolution: int, steps: int):
+        # locked check-then-insert: batches dispatch from tornado's
+        # multi-thread executor, and an unlocked race here would build
+        # two jit objects and pay the batched program's full XLA compile
+        # twice (same fix as Engine._cached, core/engine.py)
         key = (int(resolution), int(steps))
         if key not in self._fns:
-            self._fns[key] = self._build(*key)
+            with self._build_lock:
+                if key not in self._fns:
+                    self._fns[key] = self._build(*key)
         return self._fns[key]
 
     def stamp_batch(self, params, canvases_u8, brushes, conds, unconds, keys,

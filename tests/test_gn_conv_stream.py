@@ -318,3 +318,37 @@ def test_upconv_stream_wpadded_chaining():
     np.testing.assert_allclose(np.asarray(st[:, :2]),
                                np.asarray(ref_st[:, :2]),
                                atol=1e-2, rtol=1e-3)
+
+
+def test_vjp_bf16_and_none_args():
+    """The custom VJP must work under the serving mixed-precision case
+    (bf16 primals - the conv transpose rule mixes dtypes unless the
+    re-derivation runs in f32, mirroring conv3x3._conv3x3_bwd) and with
+    the optional args None (jax.vjp cannot take None positionally)."""
+    import jax
+    import jax.numpy as jnp
+
+    B, H, W, C = 1, 16, 16, 128
+    x = _rand((B, H, W, C), 0).astype(jnp.bfloat16)
+    a = (_rand((B, C), 1, 0.2) + 1.0).astype(jnp.bfloat16)
+    c = _rand((B, C), 2, 0.2).astype(jnp.bfloat16)
+    w = _rand((3, 3, C, C), 3, 0.05).astype(jnp.bfloat16)
+
+    def loss(x, a, c, w):
+        out, _ = gn_conv_stream(x, a, c, w, None, None, False, True, "xla")
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    gx, ga, gc, gw = jax.grad(loss, argnums=(0, 1, 2, 3))(x, a, c, w)
+    assert gx.dtype == jnp.bfloat16 and gw.dtype == jnp.bfloat16
+    for gr in (gx, ga, gc, gw):
+        assert np.isfinite(np.asarray(gr, dtype=np.float32)).all()
+    # grads agree with the all-f32 derivation
+    f32 = [v.astype(jnp.float32) for v in (x, a, c, w)]
+    gx32, _, _, gw32 = jax.grad(loss, argnums=(0, 1, 2, 3))(*f32)
+    np.testing.assert_allclose(np.asarray(gx, np.float32),
+                               np.asarray(gx32), atol=0.2, rtol=0.15)
+    # weight grads sum bf16-rounded products over 16x16 spatial - a few
+    # percent relative deviation from the f32-forward derivation is the
+    # bf16 rounding itself, not a VJP bug
+    np.testing.assert_allclose(np.asarray(gw, np.float32),
+                               np.asarray(gw32), atol=2.0, rtol=0.25)
